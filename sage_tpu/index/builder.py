@@ -1,0 +1,427 @@
+"""Database build: FASTA -> mass-sorted peptide table + fragment index.
+
+Reproduces the reference's build pipeline
+(/root/reference/crates/sage/src/database.rs:162-364):
+
+  digest -> group -> variable/static mods -> mass filter -> decoy
+  generation -> target-collision drop -> sort by monoisotopic mass ->
+  dedup-merge -> fragment generation -> m/z sort -> bucketing.
+
+Outputs are columnar NumPy arrays designed to be uploaded to TPU HBM:
+the peptide table (padded residue/mod matrices, masses, flags) feeds the
+candidate-major scoring kernels, and the classic fragment-mass index
+(fragment_mz, peptide_idx, bucket_min) feeds the peak-major open-search
+path and parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..chem.enzyme import EnzymeParameters, enzyme_parameters_from_config, group_digests
+from ..chem.fasta import Fasta
+from ..chem.mass import MONOISOTOPIC_MASSES
+from ..chem.modification import (
+    ModificationSpecificity,
+    validate_mods,
+    validate_var_mods,
+)
+from ..chem.peptide import Peptide
+from ..native import seq_f32_cumsum_rows
+
+log = logging.getLogger("sage_tpu")
+
+F32 = np.float32
+
+# Ion series kinds (ion_series.rs:6-15)
+ION_KINDS = ("a", "b", "c", "x", "y", "z")
+NTERM_KINDS = frozenset("abc")
+
+
+def next_power_of_two(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
+
+
+@dataclasses.dataclass
+class DatabaseParams:
+    """Fully-defaulted database build parameters (database.rs:95-120)."""
+
+    bucket_size: int = 8192
+    enzyme: Optional[dict] = None
+    peptide_min_mass: float = 500.0
+    peptide_max_mass: float = 5000.0
+    ion_kinds: Tuple[str, ...] = ("b", "y")
+    min_ion_index: int = 2
+    static_mods: Dict[ModificationSpecificity, float] = dataclasses.field(default_factory=dict)
+    variable_mods: Dict[ModificationSpecificity, List[float]] = dataclasses.field(
+        default_factory=dict
+    )
+    max_variable_mods: int = 2
+    decoy_tag: str = "rev_"
+    generate_decoys: bool = True
+    fasta: str = ""
+    prefilter_chunk_size: int = 0
+    prefilter: bool = False
+    prefilter_low_memory: bool = True
+
+    @staticmethod
+    def from_config(cfg: dict) -> "DatabaseParams":
+        return DatabaseParams(
+            bucket_size=next_power_of_two(cfg.get("bucket_size") or 8192),
+            enzyme=cfg.get("enzyme"),
+            peptide_min_mass=cfg.get("peptide_min_mass") or 500.0,
+            peptide_max_mass=cfg.get("peptide_max_mass") or 5000.0,
+            ion_kinds=tuple(cfg.get("ion_kinds") or ("b", "y")),
+            min_ion_index=cfg.get("min_ion_index", 2) if cfg.get("min_ion_index") is not None else 2,
+            static_mods=validate_mods(cfg.get("static_mods")),
+            variable_mods=validate_var_mods(cfg.get("variable_mods")),
+            max_variable_mods=max(cfg.get("max_variable_mods") or 2, 1),
+            decoy_tag=cfg.get("decoy_tag") or "rev_",
+            generate_decoys=(
+                cfg.get("generate_decoys") if cfg.get("generate_decoys") is not None else True
+            ),
+            fasta=cfg.get("fasta") or "",
+            prefilter_chunk_size=cfg.get("prefilter_chunk_size") or 0,
+            prefilter=bool(cfg.get("prefilter") or False),
+            prefilter_low_memory=(
+                cfg.get("prefilter_low_memory")
+                if cfg.get("prefilter_low_memory") is not None
+                else True
+            ),
+        )
+
+    def enzyme_parameters(self) -> EnzymeParameters:
+        return enzyme_parameters_from_config(self.enzyme)
+
+    # -- pipeline ---------------------------------------------------------
+
+    def digest(self, fasta: Fasta) -> List[Peptide]:
+        """database.rs:162-219."""
+        enzyme = self.enzyme_parameters()
+        digests = fasta.digest(enzyme)
+        groups = group_digests(digests)
+        log.debug("grouped %d digests into %d groups", len(digests), len(groups))
+
+        mods = [(spec, m) for spec, masses in self.variable_mods.items() for m in masses]
+        # Unmodified target digest sequences; decoys colliding with any target
+        # sequence are dropped (database.rs:184-213).
+        target_seqs = {g.reference.sequence for g in groups if not g.reference.decoy}
+
+        lo, hi = F32(self.peptide_min_mass), F32(self.peptide_max_mass)
+        out: List[Peptide] = []
+        for group in groups:
+            base = Peptide.from_group(group)
+            if base is None:
+                continue
+            for peptide in base.apply(mods, self.static_mods, self.max_variable_mods):
+                if not (lo <= peptide.monoisotopic <= hi):
+                    continue
+                if self.generate_decoys:
+                    candidates = (peptide.reverse(), peptide)
+                else:
+                    candidates = (peptide,)
+                for p in candidates:
+                    if p.decoy and p.sequence.decode("ascii") in target_seqs:
+                        continue
+                    out.append(p)
+
+        reorder_peptides(out)
+        return out
+
+    def build(self, fasta: Fasta) -> "IndexedDatabase":
+        return self.build_from_peptides(self.digest(fasta))
+
+    def build_from_peptides(self, peptides: List[Peptide]) -> "IndexedDatabase":
+        """database.rs:265-364 — generate ion-series fragments, filter by
+        min_ion_index, sort by fragment m/z, bucket, and re-sort each bucket
+        by peptide index."""
+        table = PeptideTable.from_peptides(peptides)
+        frag_mz, frag_pep = generate_index_fragments(
+            table, self.ion_kinds, self.min_ion_index
+        )
+
+        order = np.argsort(frag_mz, kind="stable")
+        frag_mz = frag_mz[order]
+        frag_pep = frag_pep[order]
+
+        n = frag_mz.shape[0]
+        bucket_size = self.bucket_size
+        n_buckets = (n + bucket_size - 1) // bucket_size
+        bucket_min = np.empty(max(n_buckets, 0), dtype=np.float32)
+        for b in range(n_buckets):
+            sl = slice(b * bucket_size, min((b + 1) * bucket_size, n))
+            bucket_min[b] = frag_mz[sl][0]
+            inner = np.argsort(frag_pep[sl], kind="stable")
+            frag_mz[sl] = frag_mz[sl][inner]
+            frag_pep[sl] = frag_pep[sl][inner]
+
+        potential_mods = [
+            (spec, m) for spec, masses in self.variable_mods.items() for m in masses
+        ]
+        return IndexedDatabase(
+            peptides=peptides,
+            table=table,
+            fragment_mz=frag_mz,
+            fragment_pep=frag_pep,
+            bucket_min=bucket_min,
+            bucket_size=bucket_size,
+            ion_kinds=tuple(self.ion_kinds),
+            min_ion_index=self.min_ion_index,
+            generate_decoys=self.generate_decoys,
+            decoy_tag=self.decoy_tag,
+            potential_mods=potential_mods,
+        )
+
+
+def reorder_peptides(peptides: List[Peptide]) -> None:
+    """Sort by (monoisotopic, sequence, mods, nterm, cterm) and merge exact
+    duplicates, keeping the first and OR-combining protein lists; a peptide
+    that is a target in any source stays a target (database.rs:221-258)."""
+    peptides.sort(key=Peptide.sort_key)
+    write = 0
+    for i, p in enumerate(peptides):
+        if write > 0 and peptides[write - 1].dedup_key() == p.dedup_key():
+            keep = peptides[write - 1]
+            # Concatenate protein lists (the reference extends keep with
+            # remove's proteins, duplicates included — database.rs:239).
+            keep.proteins = list(keep.proteins) + list(p.proteins)
+            keep.decoy = keep.decoy and p.decoy
+        else:
+            peptides[write] = p
+            write += 1
+    del peptides[write:]
+    for p in peptides:
+        p.proteins = sorted(p.proteins)
+
+
+@dataclasses.dataclass
+class PeptideTable:
+    """Columnar peptide table — the HBM-resident form of the database.
+
+    residues : u8  [P, L]  ascii bytes, zero-padded
+    mods     : f32 [P, L]  per-residue modification masses
+    resmass  : f32 [P, L]  monoisotopic(residue) + mod (one f32 add each)
+    lens     : i32 [P]
+    nterm    : f32 [P]     N-term mod or 0.0 (``nterm.unwrap_or_default()``)
+    cterm    : f32 [P]
+    mono     : f32 [P]     full monoisotopic mass (ascending — sort key)
+    decoy    : bool[P]
+    """
+
+    residues: np.ndarray
+    mods: np.ndarray
+    resmass: np.ndarray
+    lens: np.ndarray
+    nterm: np.ndarray
+    cterm: np.ndarray
+    mono: np.ndarray
+    decoy: np.ndarray
+    missed_cleavages: np.ndarray
+    semi_enzymatic: np.ndarray
+    position: np.ndarray
+    max_len: int
+
+    def __len__(self) -> int:
+        return self.mono.shape[0]
+
+    @staticmethod
+    def from_peptides(peptides: Sequence[Peptide]) -> "PeptideTable":
+        n = len(peptides)
+        max_len = max((len(p.sequence) for p in peptides), default=1)
+        residues = np.zeros((n, max_len), dtype=np.uint8)
+        mods = np.zeros((n, max_len), dtype=np.float32)
+        lens = np.zeros(n, dtype=np.int32)
+        nterm = np.zeros(n, dtype=np.float32)
+        cterm = np.zeros(n, dtype=np.float32)
+        mono = np.zeros(n, dtype=np.float32)
+        decoy = np.zeros(n, dtype=bool)
+        mc = np.zeros(n, dtype=np.uint8)
+        semi = np.zeros(n, dtype=bool)
+        position = np.zeros(n, dtype=np.uint8)
+        for i, p in enumerate(peptides):
+            L = len(p.sequence)
+            residues[i, :L] = np.frombuffer(p.sequence, dtype=np.uint8)
+            if L:
+                mods[i, :L] = p.modifications
+            lens[i] = L
+            nterm[i] = p.nterm if p.nterm is not None else 0.0
+            cterm[i] = p.cterm if p.cterm is not None else 0.0
+            mono[i] = p.monoisotopic
+            decoy[i] = p.decoy
+            mc[i] = p.missed_cleavages
+            semi[i] = p.semi_enzymatic
+            position[i] = int(p.position)
+        # residue monoisotopic mass + mod, one f32 add per residue
+        # (matches ion_series.rs:76: monoisotopic(r) + m)
+        res_mono = np.where(
+            (residues >= 65) & (residues <= 90),
+            MONOISOTOPIC_MASSES[np.clip(residues.astype(np.int32) - 65, 0, 25)],
+            np.float32(0.0),
+        ).astype(np.float32)
+        resmass = (res_mono + mods).astype(np.float32)
+        return PeptideTable(
+            residues=residues,
+            mods=mods,
+            resmass=resmass,
+            lens=lens,
+            nterm=nterm,
+            cterm=cterm,
+            mono=mono,
+            decoy=decoy,
+            missed_cleavages=mc,
+            semi_enzymatic=semi,
+            position=position,
+            max_len=max_len,
+        )
+
+    def ladders(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Sequential-f32 b/y cumulative ion ladders, [P, L] each padded with
+        their final value. b[k] = nterm + sum(resmass[:k+1]);
+        y[k] = (mono - nterm) - sum(resmass[:k+1]) (ion_series.rs:44-86).
+        Only the first (len-1) entries are valid ions."""
+        ion_lens = np.maximum(self.lens - 1, 0).astype(np.int32)
+        b = seq_f32_cumsum_rows(self.resmass, self.nterm, ion_lens)
+        y_init = (self.mono - self.nterm).astype(np.float32)
+        y = seq_f32_cumsum_rows(-self.resmass, y_init, ion_lens)
+        return b, y
+
+
+def generate_index_fragments(
+    table: PeptideTable, ion_kinds: Sequence[str], min_ion_index: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All theoretical fragments that the reference stores in its index:
+    per peptide, ions of each series except the first ``min_ion_index``
+    ions from the relevant terminus (database.rs:272-297)."""
+    P, L = table.resmass.shape
+    n_ions = np.maximum(table.lens - 1, 0)
+    ion_idx = np.arange(L, dtype=np.int32)[None, :]
+    valid = ion_idx < n_ions[:, None]
+
+    frags_mz: List[np.ndarray] = []
+    frags_pep: List[np.ndarray] = []
+    pep_ids = np.arange(P, dtype=np.uint32)[:, None]
+
+    for kind in ion_kinds:
+        ladder = _ion_ladder(table, kind)
+        if kind in NTERM_KINDS:
+            mask = valid & (ion_idx + 1 > min_ion_index)
+        else:
+            # (len - 1) - ion_idx > min_ion_index, with n_ions = len - 1
+            mask = valid & ((n_ions[:, None] - ion_idx) > min_ion_index)
+        frags_mz.append(ladder[mask])
+        frags_pep.append(np.broadcast_to(pep_ids, (P, L))[mask])
+
+    if not frags_mz:
+        return np.zeros(0, dtype=np.float32), np.zeros(0, dtype=np.uint32)
+    return (
+        np.concatenate(frags_mz).astype(np.float32),
+        np.concatenate(frags_pep).astype(np.uint32),
+    )
+
+
+def _ion_ladder(table: PeptideTable, kind: str) -> np.ndarray:
+    """Cumulative neutral fragment masses for one ion series, sequential f32.
+
+    Series seeds (ion_series.rs:44-53):
+      a = nterm - (C+O); b = nterm; c = nterm + NH3
+      x = mono - nterm + (C+O-NH3+N+H); y = mono - nterm; z = mono - nterm - NH3
+    """
+    C = F32(12.0)
+    O = F32(15.994914)
+    H = F32(1.007825)
+    PRO = F32(1.0072764)
+    N = F32(14.003074)
+    NH3 = F32(N + F32(H * F32(2.0)) + PRO)
+
+    ion_lens = np.maximum(table.lens - 1, 0).astype(np.int32)
+    if kind in NTERM_KINDS:
+        if kind == "a":
+            init = (table.nterm - F32(C + O)).astype(np.float32)
+        elif kind == "b":
+            init = table.nterm.astype(np.float32)
+        else:  # c
+            init = (table.nterm + NH3).astype(np.float32)
+        return seq_f32_cumsum_rows(table.resmass, init, ion_lens)
+    base = (table.mono - table.nterm).astype(np.float32)
+    if kind == "x":
+        shift = F32(F32(F32(C + O) - NH3) + F32(N + H))
+        init = (base + shift).astype(np.float32)
+    elif kind == "y":
+        init = base
+    else:  # z
+        init = (base - NH3).astype(np.float32)
+    return seq_f32_cumsum_rows(-table.resmass, init, ion_lens)
+
+
+@dataclasses.dataclass
+class IndexedDatabase:
+    """The built database: peptide objects (for output/display), the columnar
+    table (for device kernels), and the bucketed fragment index."""
+
+    peptides: List[Peptide]
+    table: PeptideTable
+    fragment_mz: np.ndarray  # f32 [N]
+    fragment_pep: np.ndarray  # u32 [N]
+    bucket_min: np.ndarray  # f32 [n_buckets]
+    bucket_size: int
+    ion_kinds: Tuple[str, ...]
+    min_ion_index: int
+    generate_decoys: bool
+    decoy_tag: str
+    potential_mods: List[Tuple[ModificationSpecificity, float]]
+
+    def __len__(self) -> int:
+        return len(self.peptides)
+
+    @property
+    def num_fragments(self) -> int:
+        return int(self.fragment_mz.shape[0])
+
+    def peptide_window(self, lo: np.float32, hi: np.float32) -> Tuple[int, int]:
+        """Indices [i0, i1) of peptides with monoisotopic mass in [lo, hi]
+        — the precursor-window candidate range (database.rs:402-425 +
+        the page_search edge-mass checks, which reduce to an exact
+        mass-in-range test)."""
+        mono = self.table.mono
+        i0 = int(np.searchsorted(mono, lo, side="left"))
+        i1 = int(np.searchsorted(mono, hi, side="right"))
+        return i0, i1
+
+    def query_fragments(
+        self, pre_lo: float, pre_hi: float, frag_lo: float, frag_hi: float
+    ) -> np.ndarray:
+        """Reference-parity query over the bucketed index: indices of
+        fragment entries within the fragment window whose parent peptide
+        mass is in the precursor window (database.rs:480-536). Used by
+        property tests and the peak-major search path."""
+        lo_b, hi_b = binary_search_slice(self.bucket_min, frag_lo, frag_hi)
+        i0, i1 = self.peptide_window(F32(pre_lo), F32(pre_hi))
+        hits = []
+        n = self.fragment_mz.shape[0]
+        for b in range(lo_b, hi_b):
+            s = b * self.bucket_size
+            e = min(s + self.bucket_size, n)
+            pep = self.fragment_pep[s:e]
+            mz = self.fragment_mz[s:e]
+            sel = (
+                (pep >= i0)
+                & (pep < i1)
+                & (mz >= frag_lo)
+                & (mz <= frag_hi)
+            )
+            hits.append(np.nonzero(sel)[0] + s)
+        if not hits:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate(hits)
+
+
+def binary_search_slice(arr: np.ndarray, low, high) -> Tuple[int, int]:
+    """Widest [left, right) covering every value in [low, high]
+    (database.rs:549-561)."""
+    left = max(int(np.searchsorted(arr, low, side="left")) - 1, 0)
+    right = int(np.searchsorted(arr, high, side="right"))
+    return left, max(right, left)

@@ -1,0 +1,139 @@
+"""Native (C) helpers with pure-Python fallbacks.
+
+The shared library is compiled lazily on first import and cached next to
+the source. If no C compiler is available the Python fallback is used —
+it produces identical results, only slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+log = logging.getLogger("sage_tpu")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_HERE, "_seqf32.so")
+_SRC_PATH = os.path.join(_HERE, "seqf32.c")
+
+_lib = None
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            # Build into a temp file then atomically rename, so concurrent
+            # test workers can't observe a partially written .so.
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+            os.close(fd)
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", _SRC_PATH, "-o", tmp],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, _SO_PATH)
+            return True
+        except (OSError, subprocess.CalledProcessError):
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            continue
+    return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH):
+        if not _build():
+            log.warning("no C compiler found; using slow Python fallback for f32 sums")
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        _lib = False
+        return _lib
+    lib.seq_f32_sum_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.seq_f32_sum.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.seq_f32_sum.restype = ctypes.c_float
+    lib.seq_f32_cumsum_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return _lib
+
+
+def _f32ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def seq_f32_sum_rows(vals: np.ndarray, lens: np.ndarray, init: float = 0.0) -> np.ndarray:
+    """Per-row strictly-sequential f32 sums: out[i] = init + sum(vals[i, :lens[i]])."""
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    n, stride = vals.shape
+    out = np.empty(n, dtype=np.float32)
+    lib = _load()
+    if lib:
+        lib.seq_f32_sum_rows(_f32ptr(vals), _i32ptr(lens), n, stride, np.float32(init), _f32ptr(out))
+        return out
+    for i in range(n):
+        acc = np.float32(init)
+        for j in range(int(lens[i])):
+            acc = np.float32(acc + vals[i, j])
+        out[i] = acc
+    return out
+
+
+def seq_f32_sum(vals: np.ndarray) -> np.float32:
+    """Strictly-sequential f32 sum of a vector."""
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    lib = _load()
+    if lib:
+        return np.float32(lib.seq_f32_sum(_f32ptr(vals), vals.size))
+    acc = np.float32(0.0)
+    for v in vals:
+        acc = np.float32(acc + v)
+    return acc
+
+
+def seq_f32_cumsum_rows(vals: np.ndarray, init: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row inclusive sequential-f32 prefix sums; tail padded with the final value."""
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    init = np.ascontiguousarray(init, dtype=np.float32)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    n, stride = vals.shape
+    out = np.empty_like(vals)
+    lib = _load()
+    if lib:
+        lib.seq_f32_cumsum_rows(_f32ptr(vals), _f32ptr(init), _i32ptr(lens), n, stride, _f32ptr(out))
+        return out
+    for i in range(n):
+        acc = np.float32(init[i])
+        for j in range(stride):
+            if j < int(lens[i]):
+                acc = np.float32(acc + vals[i, j])
+            out[i, j] = acc
+    return out
