@@ -1,0 +1,247 @@
+"""Streaming mzML parser.
+
+Parity with /root/reference/crates/sage-cloudpath/src/mzml.rs: a state
+machine over PSI-MS controlled-vocabulary accessions. Handles zlib/no
+compression, f32/f64 little-endian binary arrays, m/z / intensity / noise
+arrays (optional S/N division at a chosen MS level), scan start time units,
+selected-ion m/z / charge / intensity, isolation windows, and inverse ion
+mobility from either the selected ion or the scan.
+
+Base64 + zlib decode run through the C-backed stdlib; the XML walk uses
+the C-accelerated ElementTree iterparse.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import io
+import zlib
+from typing import List, Optional
+
+import numpy as np
+
+from ..chem.mass import Tolerance
+from ..spectrum.processor import Precursor, RawSpectrum
+
+# CV accessions (mzml.rs:33-63)
+ZLIB_COMPRESSION = "MS:1000574"
+NO_COMPRESSION = "MS:1000576"
+INTENSITY_ARRAY = "MS:1000515"
+MZ_ARRAY = "MS:1000514"
+NOISE_ARRAY = "MS:1002744"
+FLOAT_64 = "MS:1000523"
+FLOAT_32 = "MS:1000521"
+MS_LEVEL = "MS:1000511"
+PROFILE = "MS:1000128"
+CENTROID = "MS:1000127"
+TOTAL_ION_CURRENT = "MS:1000285"
+SCAN_START_TIME = "MS:1000016"
+UNIT_SECONDS = "UO:0000010"
+UNIT_MINUTES = "UO:0000031"
+ION_INJECTION_TIME = "MS:1000927"
+SELECTED_ION_MZ = "MS:1000744"
+SELECTED_ION_INT = "MS:1000042"
+SELECTED_ION_CHARGE = "MS:1000041"
+ISO_WINDOW_TARGET = "MS:1000827"
+ISO_WINDOW_LOWER = "MS:1000828"
+ISO_WINDOW_UPPER = "MS:1000829"
+INVERSE_ION_MOBILITY = "MS:1002815"
+
+
+class MzMLError(ValueError):
+    pass
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+class MzMLReader:
+    """mzml.rs:65-104."""
+
+    def __init__(
+        self,
+        file_id: int = 0,
+        ms_level: Optional[int] = None,
+        signal_to_noise: Optional[int] = None,
+    ):
+        self.file_id = file_id
+        self.ms_level = ms_level
+        self.signal_to_noise = signal_to_noise
+
+    def parse(self, source) -> List[RawSpectrum]:
+        """Parse an mzML byte stream / bytes / file path into RawSpectrum
+        records (mzml.rs:109-403)."""
+        import xml.etree.ElementTree as ET
+
+        if isinstance(source, (bytes, bytearray)):
+            source = io.BytesIO(bytes(source))
+        elif isinstance(source, str):
+            source = open(source, "rb")
+
+        spectra: List[RawSpectrum] = []
+        spectrum = RawSpectrum(file_id=self.file_id)
+        skip_spectrum = False
+        precursor = Precursor()
+        iso_lo: Optional[float] = None
+        iso_hi: Optional[float] = None
+        noise_array = np.zeros(0, np.float32)
+
+        # Binary array state
+        compression = False
+        dtype_f64 = True
+        binary_kind: Optional[str] = None
+
+        # Element stack of local names, for cvParam context
+        stack: List[str] = []
+
+        for event, elem in ET.iterparse(source, events=("start", "end")):
+            name = _localname(elem.tag)
+            if event == "start":
+                stack.append(name)
+                if name == "spectrum":
+                    spectrum = RawSpectrum(file_id=self.file_id)
+                    spectrum.id = elem.get("id", "")
+                    skip_spectrum = False
+                    precursor = Precursor()
+                    iso_lo = iso_hi = None
+                    noise_array = np.zeros(0, np.float32)
+                elif name == "precursor":
+                    ref = elem.get("spectrumRef")
+                    if ref is not None:
+                        precursor.spectrum_ref = ref
+                continue
+
+            # event == "end"
+            stack.pop()
+            parent = stack[-1] if stack else ""
+            if name == "cvParam" and not skip_spectrum:
+                acc = elem.get("accession", "")
+                value = elem.get("value")
+                if parent == "binaryDataArray":
+                    if acc == ZLIB_COMPRESSION:
+                        compression = True
+                    elif acc == NO_COMPRESSION:
+                        compression = False
+                    elif acc == FLOAT_64:
+                        dtype_f64 = True
+                    elif acc == FLOAT_32:
+                        dtype_f64 = False
+                    elif acc == INTENSITY_ARRAY:
+                        binary_kind = "intensity"
+                    elif acc == MZ_ARRAY:
+                        binary_kind = "mz"
+                    elif acc == NOISE_ARRAY:
+                        binary_kind = "noise"
+                    else:
+                        # Unknown CV array type — skip its contents
+                        binary_kind = None
+                elif parent == "spectrum":
+                    if acc == MS_LEVEL:
+                        level = int(value)
+                        if self.ms_level is not None and level != self.ms_level:
+                            skip_spectrum = True
+                        spectrum.ms_level = level
+                    elif acc == PROFILE:
+                        spectrum.centroid = False
+                    elif acc == CENTROID:
+                        spectrum.centroid = True
+                    elif acc == TOTAL_ION_CURRENT:
+                        tic = float(value)
+                        if tic == 0.0:
+                            # No ion current — drop this spectrum entirely
+                            skip_spectrum = True
+                        else:
+                            spectrum.total_ion_current = tic
+                elif parent == "isolationWindow":
+                    if acc == ISO_WINDOW_TARGET:
+                        if precursor.mz == 0.0:
+                            precursor.mz = float(value)
+                    elif acc == ISO_WINDOW_LOWER:
+                        iso_lo = float(value)
+                    elif acc == ISO_WINDOW_UPPER:
+                        iso_hi = float(value)
+                elif parent == "selectedIon":
+                    if acc == SELECTED_ION_CHARGE:
+                        precursor.charge = int(value)
+                    elif acc == SELECTED_ION_MZ:
+                        v = float(value)
+                        if v != 0.0:
+                            precursor.mz = v
+                    elif acc == SELECTED_ION_INT:
+                        precursor.intensity = float(value)
+                    elif acc == INVERSE_ION_MOBILITY:
+                        precursor.inverse_ion_mobility = float(value)
+                elif parent == "scan":
+                    if acc == SCAN_START_TIME:
+                        t = float(value)
+                        unit = elem.get("unitAccession", "")
+                        if unit == UNIT_SECONDS:
+                            spectrum.scan_start_time = t / 60.0
+                        elif unit == UNIT_MINUTES:
+                            spectrum.scan_start_time = t
+                        else:
+                            raise MzMLError("malformed MzML: unknown scan time unit")
+                    elif acc == ION_INJECTION_TIME:
+                        spectrum.ion_injection_time = float(value)
+                    elif acc == INVERSE_ION_MOBILITY:
+                        precursor.inverse_ion_mobility = float(value)
+            elif name == "binary" and not skip_spectrum:
+                raw = (elem.text or "").strip()
+                if raw and binary_kind is not None:
+                    decoded = base64.b64decode(raw)
+                    if compression:
+                        decoded = zlib.decompress(decoded)
+                    if dtype_f64:
+                        array = np.frombuffer(decoded, dtype="<f8").astype(np.float32)
+                    else:
+                        n = len(decoded) - (len(decoded) % 4)
+                        array = np.frombuffer(decoded[:n], dtype="<f4").copy()
+                    if binary_kind == "intensity":
+                        spectrum.intensity = array
+                    elif binary_kind == "mz":
+                        spectrum.mz = array
+                    elif binary_kind == "noise":
+                        noise_array = array
+                binary_kind = None
+            elif name == "precursor":
+                if precursor.mz != 0.0:
+                    if iso_lo is not None and iso_hi is not None:
+                        precursor.isolation_window = Tolerance("da", -iso_lo, iso_hi)
+                    spectrum.precursors.append(precursor)
+                precursor = Precursor()
+                iso_lo = iso_hi = None
+            elif name == "spectrum":
+                allow = not skip_spectrum and (
+                    self.ms_level is None or self.ms_level == spectrum.ms_level
+                )
+                if allow:
+                    if (
+                        self.signal_to_noise is not None
+                        and self.signal_to_noise == spectrum.ms_level
+                        and noise_array.size > 0
+                    ):
+                        n = min(len(spectrum.intensity), len(noise_array))
+                        spectrum.intensity = spectrum.intensity.copy()
+                        spectrum.intensity[:n] = spectrum.intensity[:n] / noise_array[:n]
+                    spectra.append(spectrum)
+                spectrum = RawSpectrum(file_id=self.file_id)
+            elem.clear()
+
+        return spectra
+
+
+def read_mzml(
+    path: str,
+    file_id: int = 0,
+    signal_to_noise: Optional[int] = None,
+    ms_level: Optional[int] = None,
+) -> List[RawSpectrum]:
+    """Read an mzML (or .mzML.gz) file from local disk."""
+    reader = MzMLReader(file_id=file_id, ms_level=ms_level, signal_to_noise=signal_to_noise)
+    if path.lower().endswith(".gz"):
+        with gzip.open(path, "rb") as fh:
+            return reader.parse(fh)
+    with open(path, "rb") as fh:
+        return reader.parse(fh)

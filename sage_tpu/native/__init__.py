@@ -18,8 +18,10 @@ import numpy as np
 log = logging.getLogger("sage_tpu")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO_PATH = os.path.join(_HERE, "_seqf32.so")
-_SRC_PATH = os.path.join(_HERE, "seqf32.c")
+_SO_PATH = os.path.join(_HERE, "_native.so")
+_SRC_PATHS = sorted(
+    os.path.join(_HERE, f) for f in os.listdir(_HERE) if f.endswith(".c")
+)
 
 _lib = None
 
@@ -32,7 +34,7 @@ def _build() -> bool:
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
             os.close(fd)
             subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", _SRC_PATH, "-o", tmp],
+                [cc, "-O2", "-shared", "-fPIC", *_SRC_PATHS, "-o", tmp, "-lm"],
                 check=True,
                 capture_output=True,
             )
@@ -45,11 +47,18 @@ def _build() -> bool:
     return False
 
 
+def _stale() -> bool:
+    if not os.path.exists(_SO_PATH):
+        return True
+    so_mtime = os.path.getmtime(_SO_PATH)
+    return any(os.path.getmtime(src) > so_mtime for src in _SRC_PATHS)
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH):
+    if _stale():
         if not _build():
             log.warning("no C compiler found; using slow Python fallback for f32 sums")
             _lib = False
@@ -76,6 +85,17 @@ def _load():
         ctypes.c_int64,
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.deisotope.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
     ]
     _lib = lib
     return _lib
@@ -117,6 +137,64 @@ def seq_f32_sum(vals: np.ndarray) -> np.float32:
     for v in vals:
         acc = np.float32(acc + v)
     return acc
+
+
+def deisotope(mz: np.ndarray, inten: np.ndarray, max_charge: int, ppm: float, min_mz: float):
+    """Two-pointer C13 deisotoping (spectrum.rs:179-227 in the reference).
+
+    Returns (intensity, charge, envelope): rolled-up envelope intensities,
+    assigned charge (0 = none), and parent index (-1 = none).
+    """
+    mz = np.ascontiguousarray(mz, dtype=np.float32)
+    inten = np.ascontiguousarray(inten, dtype=np.float32)
+    n = mz.shape[0]
+    out_int = np.empty(n, dtype=np.float32)
+    out_charge = np.empty(n, dtype=np.int8)
+    out_env = np.empty(n, dtype=np.int32)
+    lib = _load()
+    if lib:
+        lib.deisotope(
+            _f32ptr(mz),
+            _f32ptr(inten),
+            n,
+            int(max_charge),
+            np.float32(ppm),
+            np.float32(min_mz),
+            _f32ptr(out_int),
+            out_charge.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _i32ptr(out_env),
+        )
+        return out_int, out_charge, out_env
+
+    NEUTRON = np.float32(1.00335)
+    ppm = np.float32(ppm)
+    min_mz = np.float32(min_mz)
+    out_int[:] = inten
+    out_charge[:] = 0
+    out_env[:] = -1
+    for i in range(n - 1, -1, -1):
+        j = max(i - 1, 0)
+        while (
+            np.float32(mz[i] - mz[j]) <= np.float32(NEUTRON + np.float32(ppm * mz[i]) / np.float32(1e6))
+            and mz[j] >= min_mz
+        ):
+            delta = np.float32(mz[i] - mz[j])
+            tol = np.float32(np.float32(ppm * mz[i]) / np.float32(1e6))
+            for charge in range(1, max_charge + 1):
+                iso = np.float32(NEUTRON / np.float32(charge))
+                if abs(np.float32(delta - iso)) <= tol and inten[i] < inten[j]:
+                    if out_charge[i] != 0 and out_charge[i] != charge:
+                        continue
+                    out_int[j] = np.float32(out_int[j] + out_int[i])
+                    out_charge[j] = charge
+                    out_charge[i] = charge
+                    out_env[i] = j
+            if j == 0:
+                break
+            j -= 1
+            if j == 0:
+                break
+    return out_int, out_charge, out_env
 
 
 def seq_f32_cumsum_rows(vals: np.ndarray, init: np.ndarray, lens: np.ndarray) -> np.ndarray:
