@@ -1,0 +1,111 @@
+"""The end-to-end correctness anchor: searching the bundled single-scan mzML
+against the VAT1 FASTA must yield exactly 1 PSM with 21 matched peaks for
+peptide LQSRPAAPPAPGPGQLTLR (reference crates/sage-cli/tests/integration.rs
++ tests/config.json)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sage_tpu.chem.fasta import Fasta
+from sage_tpu.chem.mass import Tolerance
+from sage_tpu.index.builder import DatabaseParams
+from sage_tpu.io.mzml import read_mzml
+from sage_tpu.ops.search import Scorer, SearchParams, max_fragment_charge
+from sage_tpu.spectrum.processor import SpectrumProcessor
+
+CONFIG = "/root/reference/tests/config.json"
+FASTA = "/root/reference/tests/Q99536.fasta"
+MZML = "/root/reference/tests/LQSRPAAPPAPGPGQLTLR.mzML"
+
+
+@pytest.fixture(scope="module")
+def golden_setup():
+    cfg = json.load(open(CONFIG))
+    db_params = DatabaseParams.from_config(cfg["database"])
+    fasta = Fasta.parse(open(FASTA).read(), db_params.decoy_tag, db_params.generate_decoys)
+    db = db_params.build(fasta)
+
+    params = SearchParams(
+        precursor_tol=Tolerance.from_json(cfg["precursor_tol"]),
+        fragment_tol=Tolerance.from_json(cfg["fragment_tol"]),
+        min_isotope_err=cfg["isotope_errors"][0],
+        max_isotope_err=cfg["isotope_errors"][1],
+        max_fragment_charge=cfg.get("max_fragment_charge"),
+        report_psms=cfg.get("report_psms", 1),
+        chimera=cfg.get("chimera", False),
+    )
+    sp = SpectrumProcessor(take_top_n=150, deisotope=cfg.get("deisotope", True))
+    spectra = [sp.process(s) for s in read_mzml(MZML)]
+    return db, params, spectra
+
+
+def test_max_fragment_charge_table():
+    # scoring.rs:821-830
+    assert max_fragment_charge(None, 1) == 2
+    assert max_fragment_charge(None, 2) == 2
+    assert max_fragment_charge(None, 3) == 3
+    assert max_fragment_charge(None, 4) == 4
+    assert max_fragment_charge(1, 2) == 2
+    assert max_fragment_charge(1, 3) == 2
+    assert max_fragment_charge(2, 4) == 3
+    assert max_fragment_charge(4, 1) == 2
+
+
+def test_golden_psm(golden_setup):
+    db, params, spectra = golden_setup
+    scorer = Scorer(db, params)
+    features = scorer.score(spectra)
+
+    assert len(features) == 1, f"expected exactly 1 PSM, got {len(features)}"
+    psm = features[0]
+    peptide = db.peptides[psm.peptide_idx]
+    assert peptide.sequence == b"LQSRPAAPPAPGPGQLTLR"
+    assert psm.matched_peaks == 21, f"expected 21 matched peaks, got {psm.matched_peaks}"
+    assert psm.charge == 3
+    assert psm.label == 1
+    assert psm.rank == 1
+    # calcmass is the f32 peptide monoisotopic mass
+    assert np.float32(psm.calcmass) == peptide.monoisotopic
+    assert psm.hyperscore > 0
+    assert psm.longest_y > 0
+    assert psm.spec_id == "controllerType=0 controllerNumber=1 scan=30069"
+
+
+def test_golden_psm_annotated(golden_setup):
+    db, params, spectra = golden_setup
+    import dataclasses
+
+    params2 = dataclasses.replace(params, annotate_matches=True)
+    scorer = Scorer(db, params2)
+    features = scorer.score(spectra)
+    assert len(features) == 1
+    frags = features[0].fragments
+    assert frags is not None
+    assert len(frags.kinds) == 21
+    # all matched fragments are b or y at charge 1 (max_fragment_charge: 1)
+    assert set(frags.kinds) <= {"b", "y"}
+    assert set(frags.charges) == {1}
+    # experimental vs calculated m/z within the 10 ppm window
+    for cm, em in zip(frags.mz_calculated, frags.mz_experimental):
+        assert abs(cm - em) / cm * 1e6 < 10.5
+
+
+def test_report_multiple_psms(golden_setup):
+    db, params, spectra = golden_setup
+    import dataclasses
+
+    params2 = dataclasses.replace(params, report_psms=5, min_matched_peaks=1)
+    scorer = Scorer(db, params2)
+    features = scorer.score(spectra)
+    assert len(features) >= 1
+    # best hit is still the golden peptide, ranks ascending, hyperscores desc
+    assert db.peptides[features[0].peptide_idx].sequence == b"LQSRPAAPPAPGPGQLTLR"
+    ranks = [f.rank for f in features]
+    assert ranks == list(range(1, len(features) + 1))
+    hs = [f.hyperscore for f in features]
+    assert hs == sorted(hs, reverse=True)
+    # delta_next chain: f[i].delta_next == f[i].hyperscore - f[i+1].hyperscore
+    for a, b in zip(features, features[1:]):
+        assert abs(a.delta_next - (a.hyperscore - b.hyperscore)) < 1e-9
