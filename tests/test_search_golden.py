@@ -1,9 +1,10 @@
 """The end-to-end correctness anchor: searching the bundled single-scan mzML
 against the VAT1 FASTA must yield exactly 1 PSM with 21 matched peaks for
-peptide LQSRPAAPPAPGPGQLTLR (reference crates/sage-cli/tests/integration.rs
-+ tests/config.json)."""
-
-import json
+peptide LQSRPAAPPAPGPGQLTLR. Setup mirrors the reference integration test
+(crates/sage-cli/tests/integration.rs:7-52): *default* database builder
+(no mods), SpectrumProcessor(100, deisotope, min_deisotope_mz=0), precursor
+tol ppm(-50,50), fragment tol ppm(-10,10), isotope errors -1..3,
+max_fragment_charge 1."""
 
 import numpy as np
 import pytest
@@ -15,29 +16,29 @@ from sage_tpu.io.mzml import read_mzml
 from sage_tpu.ops.search import Scorer, SearchParams, max_fragment_charge
 from sage_tpu.spectrum.processor import SpectrumProcessor
 
-CONFIG = "/root/reference/tests/config.json"
 FASTA = "/root/reference/tests/Q99536.fasta"
 MZML = "/root/reference/tests/LQSRPAAPPAPGPGQLTLR.mzML"
 
 
 @pytest.fixture(scope="module")
 def golden_setup():
-    cfg = json.load(open(CONFIG))
-    db_params = DatabaseParams.from_config(cfg["database"])
+    db_params = DatabaseParams()
     fasta = Fasta.parse(open(FASTA).read(), db_params.decoy_tag, db_params.generate_decoys)
     db = db_params.build(fasta)
 
     params = SearchParams(
-        precursor_tol=Tolerance.from_json(cfg["precursor_tol"]),
-        fragment_tol=Tolerance.from_json(cfg["fragment_tol"]),
-        min_isotope_err=cfg["isotope_errors"][0],
-        max_isotope_err=cfg["isotope_errors"][1],
-        max_fragment_charge=cfg.get("max_fragment_charge"),
-        report_psms=cfg.get("report_psms", 1),
-        chimera=cfg.get("chimera", False),
+        precursor_tol=Tolerance("ppm", -50.0, 50.0),
+        fragment_tol=Tolerance("ppm", -10.0, 10.0),
+        min_isotope_err=-1,
+        max_isotope_err=3,
+        max_fragment_charge=1,
+        report_psms=1,
+        chimera=False,
     )
-    sp = SpectrumProcessor(take_top_n=150, deisotope=cfg.get("deisotope", True))
+    sp = SpectrumProcessor(take_top_n=100, deisotope=True)
     spectra = [sp.process(s) for s in read_mzml(MZML)]
+    assert len(spectra) == 1
+    assert len(spectra[0]) <= 300
     return db, params, spectra
 
 
