@@ -108,6 +108,80 @@ def _tol_bounds_jnp(tol: Tolerance, center):
     return center + lo, center + hi
 
 
+def ion_ladders(res, ntm, mono, series):
+    """Sequential-f32 cumulative ion ladders for the configured series.
+
+    res: [..., L] per-residue masses (monoisotopic + mod); ntm/mono: [...]
+    N-term mod and full monoisotopic mass. Returns f32 [S, ..., L] neutral
+    fragment masses; ion i is valid for i < len - 1 (ion_series.rs:63-86).
+    The scan accumulates strictly left-to-right, matching the reference's
+    scalar f32 running sums bit-for-bit."""
+    n_series = len(series)
+    inits = []
+    signs = []
+    for kind in series:
+        seed = jnp.float32(_SERIES_SEED[kind])
+        if _SERIES_NTERM[kind]:
+            inits.append(ntm + seed)
+            signs.append(jnp.float32(1.0))
+        else:
+            inits.append((mono - ntm) + seed)
+            signs.append(jnp.float32(-1.0))
+    init = jnp.stack(inits, axis=0)  # [S, ...]
+    sign = jnp.stack(signs, axis=0).reshape((n_series,) + (1,) * (res.ndim - 1))
+
+    def step(carry, x):
+        new = carry + sign * x[None]
+        return new, new
+
+    xs = jnp.moveaxis(res, -1, 0)  # [L, ...]
+    _, lad = jax.lax.scan(step, init, xs)  # [L, S, ...]
+    return jnp.moveaxis(lad, 0, -1)  # [S, ..., L]
+
+
+def series_valid_mask(lens, L, series, min_ion_index):
+    """[S, ..., L] bool: is ion i of each series stored in the index
+    (database.rs:281-291) — drops the first min_ion_index ions from the
+    relevant terminus plus ions beyond len - 1."""
+    ion_idx = jnp.arange(L, dtype=jnp.int32)
+    n_ions = jnp.maximum(lens - 1, 0)[..., None]  # [..., 1]
+    masks = []
+    for kind in series:
+        if _SERIES_NTERM[kind]:
+            m = (ion_idx + 1 > min_ion_index) & (ion_idx < n_ions)
+        else:
+            m = ((n_ions - ion_idx) > min_ion_index) & (ion_idx < n_ions)
+        masks.append(m)
+    return jnp.stack(masks, axis=0)
+
+
+def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
+    """Per-candidate matched-peak counts via the rank-difference trick.
+
+    f: [S, W, L] neutral fragment ladders; fvalid: [S, W, L] bool;
+    peaks: [Pk] neutral peak masses padded with +inf; maxz: scalar i32
+    exclusive fragment-charge bound. Counts every in-window
+    (peak × charge × fragment) pair, exactly the reference's preliminary
+    matched count (scoring.rs:335-382). Returns i32 [W]."""
+    W = f.shape[1]
+    counts = jnp.zeros((W,), dtype=jnp.int32)
+    for zi in range(Z):
+        z = jnp.float32(zi + 1)
+        q = peaks * z  # [Pk]
+        lo_q, hi_q = _tol_bounds_jnp(frag_tol, q)
+        z_ok = (zi + 1) < maxz
+        # Masked charge planes must contribute 0 to both the prefix count
+        # (lo <= f) and the strict count (hi < f): +inf fails both
+        # comparisons for any finite fragment.
+        lo_q = jnp.where(z_ok, lo_q, jnp.float32(np.inf))
+        hi_q = jnp.where(z_ok, hi_q, jnp.float32(np.inf))
+        a = jnp.sum((f[..., None] >= lo_q[None, None, None, :]), axis=-1, dtype=jnp.int32)
+        b = jnp.sum((f[..., None] > hi_q[None, None, None, :]), axis=-1, dtype=jnp.int32)
+        cnt = jnp.where(fvalid, a - b, 0)  # [S, W, L]
+        counts = counts + jnp.sum(cnt, axis=(0, 2))
+    return counts
+
+
 class _DeviceTables:
     """HBM-resident peptide table, padded to a power-of-two row count so any
     precursor-window slice of width W <= P_pad stays in bounds."""
@@ -157,47 +231,10 @@ class Scorer:
     # ------------------------------------------------------------------
 
     def _ladders(self, res, ntm, mono_c, L):
-        """Sequential-f32 cumulative ion ladders for each configured series.
-
-        res: [..., L] per-residue masses; ntm/mono_c: [...]. Returns
-        f [n_series, ..., L] neutral fragment masses (ion i valid for
-        i < len-1)."""
-        inits = []
-        signs = []
-        for kind in self.series:
-            seed = jnp.float32(_SERIES_SEED[kind])
-            if _SERIES_NTERM[kind]:
-                inits.append(ntm + seed)
-                signs.append(jnp.float32(1.0))
-            else:
-                inits.append((mono_c - ntm) + seed)
-                signs.append(jnp.float32(-1.0))
-        init = jnp.stack(inits, axis=0)  # [S, ...]
-        sign = jnp.stack(signs, axis=0).reshape((self.n_series,) + (1,) * (res.ndim - 1))
-
-        def step(carry, x):
-            # x: [...] residue mass at position l; carry: [S, ...]
-            new = carry + sign * x[None]
-            return new, new
-
-        xs = jnp.moveaxis(res, -1, 0)  # [L, ...]
-        _, lad = jax.lax.scan(step, init, xs)  # [L, S, ...]
-        return jnp.moveaxis(lad, 0, -1)  # [S, ..., L]
+        return ion_ladders(res, ntm, mono_c, self.series)
 
     def _series_valid_mask(self, lens_c, L):
-        """[n_series, ..., L] bool: stored-in-index validity per ion
-        (database.rs:281-291): drop the first min_ion_index ions from the
-        relevant terminus, and ions beyond len-1."""
-        ion_idx = jnp.arange(L, dtype=jnp.int32)
-        n_ions = jnp.maximum(lens_c - 1, 0)[..., None]  # [..., 1]
-        masks = []
-        for kind in self.series:
-            if _SERIES_NTERM[kind]:
-                m = (ion_idx + 1 > self.min_ion_index) & (ion_idx < n_ions)
-            else:
-                m = ((n_ions - ion_idx) > self.min_ion_index) & (ion_idx < n_ions)
-            masks.append(m)
-        return jnp.stack(masks, axis=0)
+        return series_valid_mask(lens_c, L, self.series, self.min_ion_index)
 
     def _build_stage1(self, W: int, Pk: int, R: int):
         tables = self.tables
@@ -219,26 +256,7 @@ class Scorer:
             f = self._ladders(res, ntm, mono_c, L)  # [S, W, L]
             fvalid = self._series_valid_mask(lens_c, L)  # [S, W, L]
 
-            counts = jnp.zeros((W,), dtype=jnp.int32)
-            for zi in range(Z):
-                z = jnp.float32(zi + 1)
-                q = peaks * z  # [Pk]
-                lo_q, hi_q = _tol_bounds_jnp(frag_tol, q)
-                z_ok = (zi + 1) < maxz  # fragment charges run 1..maxz-1
-                # Masked charge planes must contribute 0 to both the
-                # prefix count (lo <= f) and the strict count (hi < f):
-                # +inf fails both comparisons for any finite fragment.
-                lo_q = jnp.where(z_ok, lo_q, jnp.float32(np.inf))
-                hi_q = jnp.where(z_ok, hi_q, jnp.float32(np.inf))
-                a = jnp.sum(
-                    (f[..., None] >= lo_q[None, None, None, :]), axis=-1, dtype=jnp.int32
-                )
-                b = jnp.sum(
-                    (f[..., None] > hi_q[None, None, None, :]), axis=-1, dtype=jnp.int32
-                )
-                cnt = jnp.where(fvalid, a - b, 0)  # [S, W, L]
-                counts = counts + jnp.sum(cnt, axis=(0, 2))
-
+            counts = count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z)
             counts = jnp.where(cand_valid, counts, 0)
             matched_total = jnp.sum(counts)
             scored = jnp.sum((counts > 0).astype(jnp.int32))

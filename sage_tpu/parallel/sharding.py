@@ -1,0 +1,232 @@
+"""Multi-chip search: device-mesh sharding of the scoring step.
+
+The reference engine's only parallelism is rayon threads on one node
+(SURVEY.md §2.4); scale-out here is designed TPU-first instead:
+
+* **Data parallelism** — spectra batches are sharded along the query-row
+  axis of a `jax.sharding.Mesh` ("data"). This replaces the reference's
+  rayon `par_iter` over MS2 spectra (runner.rs:311-324).
+
+* **Index (model) parallelism** — for open searches the precursor window
+  spans most of the peptide table, so the table itself is sharded along
+  the peptide axis over the "model" mesh axis; every device scores its
+  local peptide shard against every local query row and the per-shard
+  top-K candidates merge with an `all_gather` + global top-K. This is the
+  TPU analog of the reference's bucketed index walk for ±500 Da windows
+  (database.rs:480-536) and the project's "sequence parallelism" axis.
+
+Collectives ride ICI via `shard_map`; there is no host round-trip between
+shards. The merged result is bitwise independent of the mesh shape
+(counts are integers; ties break on the global peptide index, matching
+PreScore Ord, scoring.rs:43-49).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..chem.mass import Tolerance
+from ..index.builder import IndexedDatabase, next_power_of_two
+from ..ops.search import (
+    count_fragment_matches,
+    ion_ladders,
+    series_valid_mask,
+)
+
+try:  # jax >= 0.4.35
+    from jax import shard_map as _shard_map_mod
+
+    shard_map = _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(n_data: int, n_model: int, devices: Optional[Sequence] = None) -> Mesh:
+    """A 2D ("data", "model") mesh over the given (or all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) >= n_data * n_model, (
+        f"need {n_data * n_model} devices, have {len(devices)}"
+    )
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+@dataclasses.dataclass
+class ShardedTables:
+    """The peptide table sharded along the peptide axis over "model" and
+    replicated over "data". Rows are padded so every model shard has the
+    same width; padding rows carry mono = +inf so no precursor window can
+    select them."""
+
+    resmass: jax.Array  # f32 [P_pad, L]
+    nterm: jax.Array  # f32 [P_pad]
+    mono: jax.Array  # f32 [P_pad]
+    lens: jax.Array  # i32 [P_pad]
+    P_real: int
+    P_pad: int
+    L: int
+
+    @staticmethod
+    def shard(db: IndexedDatabase, mesh: Mesh) -> "ShardedTables":
+        t = db.table
+        n_pep = len(t)
+        n_model = mesh.shape["model"]
+        P_pad = max(next_power_of_two(max(n_pep, 1)), 8 * n_model)
+        P_pad = ((P_pad + n_model - 1) // n_model) * n_model
+        pad = P_pad - n_pep
+        L = t.max_len
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return ShardedTables(
+            resmass=put(
+                jnp.asarray(np.pad(t.resmass, ((0, pad), (0, 0))), jnp.float32),
+                P("model", None),
+            ),
+            nterm=put(jnp.asarray(np.pad(t.nterm, (0, pad)), jnp.float32), P("model")),
+            mono=put(
+                jnp.asarray(
+                    np.pad(t.mono, (0, pad), constant_values=np.inf), jnp.float32
+                ),
+                P("model"),
+            ),
+            lens=put(jnp.asarray(np.pad(t.lens, (0, pad)), jnp.int32), P("model")),
+            P_real=n_pep,
+            P_pad=P_pad,
+            L=L,
+        )
+
+
+class ShardedSearch:
+    """Stage-1 preliminary scoring over a 2D device mesh.
+
+    Each call scores `R` query rows (spectrum × charge × isotope
+    expansions, R divisible by the "data" axis) against the full peptide
+    table (sharded over "model"), returning the global top-K
+    (count, peptide index) per row plus the Poisson statistics the
+    feature stage needs (total matched peaks, scored candidates)."""
+
+    def __init__(
+        self,
+        db: IndexedDatabase,
+        mesh: Mesh,
+        frag_tol: Tolerance,
+        Z: int,
+        K: int = 50,
+        min_ion_index: Optional[int] = None,
+    ):
+        self.db = db
+        self.mesh = mesh
+        self.tables = ShardedTables.shard(db, mesh)
+        self.series = tuple(db.ion_kinds)
+        self.min_ion_index = (
+            db.min_ion_index if min_ion_index is None else min_ion_index
+        )
+        self.frag_tol = frag_tol
+        self.Z = Z
+        self.K = K
+        self._fn_cache = {}
+
+    def _build(self, R: int, Pk: int):
+        mesh = self.mesh
+        tables = self.tables
+        series = self.series
+        min_ion_index = self.min_ion_index
+        frag_tol = self.frag_tol
+        Z = self.Z
+        K = self.K
+        n_model = mesh.shape["model"]
+        P_local = tables.P_pad // n_model
+        L = tables.L
+
+        def local_shard(peaks, prec_lo, prec_hi, maxz, resmass, nterm, mono, lens):
+            # peaks: [R_l, Pk]; prec_*: [R_l]; tables: local shard [P_l, ...]
+            shard_id = jax.lax.axis_index("model")
+            base = shard_id.astype(jnp.int32) * P_local
+
+            f = ion_ladders(resmass, nterm, mono, series)  # [S, P_l, L]
+            fvalid = series_valid_mask(lens, L, series, min_ion_index)
+
+            def per_row(pk, lo, hi, mz):
+                counts = count_fragment_matches(f, fvalid, pk, frag_tol, mz, Z)
+                in_window = (mono >= lo) & (mono <= hi)
+                counts = jnp.where(in_window, counts, 0)
+                matched_total = jnp.sum(counts)
+                scored = jnp.sum((counts > 0).astype(jnp.int32))
+                # top-K with ties to the HIGHER global peptide index
+                # (PreScore Ord, scoring.rs:43-49): reverse the axis so
+                # top_k's lowest-index preference picks the highest index.
+                rev = counts[::-1]
+                k = min(K, P_local)
+                vals, ridx = jax.lax.top_k(rev, k)
+                pep = base + (P_local - 1 - ridx)
+                if k < K:
+                    vals = jnp.pad(vals, (0, K - k))
+                    pep = jnp.pad(pep, (0, K - k), constant_values=-1)
+                return vals, pep, matched_total, scored
+
+            vals, pep, mtot, scored = jax.vmap(per_row)(peaks, prec_lo, prec_hi, maxz)
+
+            # Merge shards: gather per-shard top-K then global top-K, with
+            # the same high-peptide-index tie rule.
+            allv = jax.lax.all_gather(vals, "model", axis=1, tiled=True)  # [R_l, M*K]
+            allp = jax.lax.all_gather(pep, "model", axis=1, tiled=True)
+            # Two-key sort (count desc, peptide index desc) — exact for any
+            # table size, no packed-key overflow.
+            sc, sp = jax.lax.sort((-allv, -allp), dimension=1, num_keys=2)
+            gvals = -sc[:, :K]
+            gpep = -sp[:, :K]
+            mtot = jax.lax.psum(mtot, "model")
+            scored = jax.lax.psum(scored, "model")
+            return gvals, gpep, mtot, scored
+
+        fn = shard_map(
+            local_shard,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),  # peaks [R, Pk]
+                P("data"),
+                P("data"),
+                P("data"),
+                P("model", None),  # resmass
+                P("model"),
+                P("model"),
+                P("model"),
+            ),
+            out_specs=(P("data", None), P("data", None), P("data"), P("data")),
+            check_vma=False,
+        )
+
+        def run(peaks, prec_lo, prec_hi, maxz):
+            return fn(
+                peaks,
+                prec_lo,
+                prec_hi,
+                maxz,
+                self.tables.resmass,
+                self.tables.nterm,
+                self.tables.mono,
+                self.tables.lens,
+            )
+
+        return jax.jit(run)
+
+    def __call__(self, peaks, prec_lo, prec_hi, maxz):
+        """peaks f32 [R, Pk] (+inf padded); prec_lo/prec_hi f32 [R] precursor
+        mass window; maxz i32 [R] exclusive fragment-charge bound.
+        R must be divisible by the data axis. Returns
+        (counts [R, K], peptide_idx [R, K], matched_total [R], scored [R])."""
+        R, Pk = peaks.shape
+        key = (R, Pk)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build(R, Pk)
+        return self._fn_cache[key](peaks, prec_lo, prec_hi, maxz)

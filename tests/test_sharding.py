@@ -1,0 +1,77 @@
+"""Multi-chip sharded search must be bitwise identical to single-device:
+the mass-range-sharded peptide table + all_gather top-K merge reproduces
+the same candidate set, counts, and Poisson statistics for every mesh
+shape (the TPU analog of the reference's index-query invariant,
+sage/tests/integration.rs:30-70)."""
+
+import numpy as np
+import pytest
+
+from sage_tpu.chem.fasta import Fasta
+from sage_tpu.chem.mass import Tolerance
+from sage_tpu.index.builder import DatabaseParams
+from sage_tpu.parallel.sharding import ShardedSearch, make_mesh
+
+FASTA = "/root/reference/tests/Q99536.fasta"
+
+
+@pytest.fixture(scope="module")
+def db():
+    params = DatabaseParams()
+    fasta = Fasta.parse(open(FASTA).read(), params.decoy_tag, True)
+    return params.build(fasta)
+
+
+@pytest.fixture(scope="module")
+def queries(db):
+    rng = np.random.default_rng(0)
+    b, y = db.table.ladders()
+    mono = db.table.mono
+    R, Pk = 8, 64
+    peaks = np.full((R, Pk), np.inf, np.float32)
+    lo = np.zeros(R, np.float32)
+    hi = np.zeros(R, np.float32)
+    for r in range(R):
+        i = int(rng.integers(0, len(db)))
+        n = max(int(db.table.lens[i]) - 1, 1)
+        frs = np.concatenate([b[i, :n], y[i, :n]])
+        take = rng.choice(frs, size=min(20, len(frs)), replace=False)
+        peaks[r, : len(take)] = np.sort(take)
+        lo[r] = mono[i] - 0.01
+        hi[r] = mono[i] + 0.01
+    maxz = np.full(R, 2, np.int32)
+    return peaks, lo, hi, maxz
+
+
+def _run(db, queries, n_data, n_model):
+    import jax
+
+    if len(jax.devices()) < n_data * n_model:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_data, n_model)
+    ss = ShardedSearch(db, mesh, Tolerance("ppm", -10.0, 10.0), Z=1, K=50)
+    return tuple(np.asarray(x) for x in ss(*queries))
+
+
+@pytest.mark.parametrize("shape", [(1, 2), (2, 1), (4, 2), (2, 4), (8, 1), (1, 8)])
+def test_sharded_matches_single_device(db, queries, shape):
+    ref = _run(db, queries, 1, 1)
+    got = _run(db, queries, *shape)
+    for r, g in zip(ref, got):
+        assert np.array_equal(r, g)
+
+
+def test_sharded_counts_match_reference_query(db, queries):
+    """Top-1 counts agree with the host-side bucketed-index query."""
+    peaks, lo, hi, maxz = queries
+    vals, pep, mtot, scored = _run(db, queries, 2, 2)
+    ftol = Tolerance("ppm", -10.0, 10.0)
+    for r in range(peaks.shape[0]):
+        finite = peaks[r][np.isfinite(peaks[r])]
+        # host count for the top candidate
+        count = 0
+        for m in finite:
+            flo, fhi = ftol.bounds(np.float32(m))
+            hits = db.query_fragments(lo[r], hi[r], flo, fhi)
+            count += int((db.fragment_pep[hits] == pep[r, 0]).sum())
+        assert count == vals[r, 0]
