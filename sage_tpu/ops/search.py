@@ -45,9 +45,10 @@ from ..spectrum.processor import ProcessedSpectrum
 from .features import (
     SAGE_HYPERSCORE,
     Feature,
+    FeatureTable,
     Fragments,
-    hyperscore,
-    log10_poisson,
+    hyperscore_vec,
+    log10_poisson_vec,
 )
 
 F32 = np.float32
@@ -278,6 +279,130 @@ class Scorer:
 
         return jax.jit(run)
 
+    def _build_stage2_compact(self, Pk: int, N: int):
+        """Full-rescore stage returning compact per-item features — the
+        entire score_candidate computation (scoring.rs:675-767) stays on
+        device: per-(fragment, charge) most-intense-peak match, strictly
+        sequential f32 intensity/ppm accumulation in the reference's
+        fragments-iterator order (series, ion, charge), matched counts and
+        longest-run automata. Only 7 scalars per item return to the host,
+        which matters on links where a device->host fetch costs ~100 ms."""
+        tables = self.tables
+        L = tables.L
+        Z = self.Z
+        frag_tol = self.params.fragment_tol
+        n_series = self.n_series
+        series = self.series
+        is_nterm = np.array([_SERIES_NTERM[k] for k in series], dtype=bool)
+
+        def per_item(pkm, pki, pep, maxz):
+            res = tables.resmass[pep]  # [L]
+            ntm = tables.nterm[pep]
+            mono_c = tables.mono[pep]
+            lens_c = tables.lens[pep]
+
+            f = ion_ladders(res[None, :], ntm[None], mono_c[None], series)[:, 0, :]
+            ion_idx = jnp.arange(L, dtype=jnp.int32)
+            n_ions = jnp.maximum(lens_c - 1, 0)
+            fvalid = jnp.broadcast_to(ion_idx[None, :] < n_ions, (n_series, L))
+
+            midx = []
+            mzs = []
+            for zi in range(Z):
+                z = jnp.float32(zi + 1)
+                mzc = f / z  # [S, L]
+                lo, hi = _tol_bounds_jnp(frag_tol, mzc)
+                z_ok = (zi + 1) < maxz
+                ok = fvalid & z_ok
+                inwin = (pkm[None, None, :] >= lo[..., None]) & (
+                    pkm[None, None, :] <= hi[..., None]
+                )  # [S, L, Pk]
+                qual = inwin & (pki[None, None, :] >= 0) & ok[..., None]
+                val = jnp.where(qual, pki[None, None, :], jnp.float32(-1.0))
+                # most intense, ties to the LATER index (spectrum.rs:150-157)
+                rev = val[..., ::-1]
+                ridx = jnp.argmax(rev, axis=-1)
+                best = jnp.take_along_axis(rev, ridx[..., None], axis=-1)[..., 0]
+                idx = (Pk - 1) - ridx
+                midx.append(jnp.where(best >= 0, idx, -1).astype(jnp.int32))
+                mzs.append(mzc)
+            midx = jnp.stack(midx, axis=-1)  # [S, L, Z]
+            mz_c = jnp.stack(mzs, axis=-1)  # [S, L, Z]
+
+            matched = midx >= 0
+            safe = jnp.clip(midx, 0, Pk - 1)
+            pk_m = jnp.where(matched, pkm[safe], jnp.float32(0.0))
+            pk_i = jnp.where(matched, pki[safe], jnp.float32(0.0))
+
+            # Per-fragment ppm term, f32 in the reference op order
+            # (scoring.rs:719-720).
+            d = jnp.abs(mz_c - pk_m)
+            denom = mz_c + pk_m
+            ppm_t = jnp.where(
+                matched,
+                ((pk_i * d) * jnp.float32(2e6))
+                / jnp.where(denom == 0, jnp.float32(1.0), denom),
+                jnp.float32(0.0),
+            )
+
+            bm3 = is_nterm[:, None, None]
+            mb = jnp.sum((matched & bm3).astype(jnp.int32))
+            my = jnp.sum((matched & ~bm3).astype(jnp.int32))
+
+            # Strictly-sequential f32 sums in fragments-iterator order
+            # (series, ion, charge). Adding 0.0f is exact, so unmatched
+            # slots can stay in the scan.
+            b_int = jnp.where(bm3, pk_i, 0.0).reshape(-1)
+            y_int = jnp.where(~bm3, pk_i, 0.0).reshape(-1)
+            terms = jnp.stack([b_int, y_int, ppm_t.reshape(-1)], axis=-1)  # [T, 3]
+
+            def add(carry, x):
+                return carry + x, None
+
+            sums, _ = jax.lax.scan(add, jnp.zeros(3, jnp.float32), terms)
+
+            # Longest-run automata (scoring.rs:771-793) — all N-term series
+            # feed one run in series order, all C-term series the other,
+            # reproducing the reference's shared-Run quirks including the
+            # initial last == 0 swallowing ion index 0.
+            m_any = matched.any(axis=-1)  # [S, L]
+
+            def run_scan(flags_and_idx):
+                def step(state, fi):
+                    start, length, last, longest = state
+                    m, l = fi
+                    skip = m & (last == l)
+                    extend = m & ~skip & (start + length == l)
+                    restart = m & ~skip & ~extend
+                    length = jnp.where(extend, length + 1, jnp.where(restart, 1, length))
+                    start = jnp.where(restart, l, start)
+                    longest = jnp.where(
+                        extend | restart, jnp.maximum(longest, length), longest
+                    )
+                    last = jnp.where(m & ~skip, l, last)
+                    return (start, length, last, longest), None
+
+                z0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                (_, _, _, longest), _ = jax.lax.scan(step, z0, flags_and_idx)
+                return longest
+
+            ion_l = jnp.broadcast_to(ion_idx[None, :], (n_series, L))
+            b_flags = m_any[is_nterm].reshape(-1)
+            b_idx = ion_l[is_nterm].reshape(-1)
+            y_flags = m_any[~is_nterm].reshape(-1)
+            y_idx = ion_l[~is_nterm].reshape(-1)
+            lb = run_scan((b_flags, b_idx)) if is_nterm.any() else jnp.int32(0)
+            ly = run_scan((y_flags, y_idx)) if (~is_nterm).any() else jnp.int32(0)
+
+            return mb, my, sums[0], sums[1], sums[2], lb, ly
+
+        def run(peaks_all, inten_all, spec_idx, pep, maxz):
+            pkm = peaks_all[spec_idx]
+            pki = inten_all[spec_idx]
+            return jax.vmap(per_item)(pkm, pki, pep, maxz)
+
+        return jax.jit(run)
+
     def _build_stage2(self, Pk: int, N: int):
         tables = self.tables
         L = tables.L
@@ -336,6 +461,12 @@ class Scorer:
             self._stage2_cache[key] = self._build_stage2(Pk, N)
         return self._stage2_cache[key]
 
+    def _stage2_compact(self, Pk, N):
+        key = ("c", Pk, N)
+        if key not in self._stage2_cache:
+            self._stage2_cache[key] = self._build_stage2_compact(Pk, N)
+        return self._stage2_cache[key]
+
     # ------------------------------------------------------------------
     # Host orchestration
     # ------------------------------------------------------------------
@@ -391,360 +522,412 @@ class Scorer:
         return masses, intens, Pk
 
     def score(self, spectra: Sequence[ProcessedSpectrum]) -> List[Feature]:
-        """Score a batch of MS2 spectra; returns all Features (report_psms
-        per spectrum), reference score_standard semantics."""
+        """Score a batch of MS2 spectra; returns Feature objects (tests /
+        small batches). Production callers use :meth:`score_table`."""
+        return self.score_table(spectra).to_features()
+
+    def score_table(self, spectra: Sequence[ProcessedSpectrum]) -> FeatureTable:
+        """Score a batch of MS2 spectra into a columnar FeatureTable
+        (report_psms per spectrum), reference score_standard semantics."""
         if not spectra:
-            return []
+            return FeatureTable.empty()
         if self.params.chimera:
             return self._score_chimera(spectra)
-        prelim = self._preliminary(spectra)
-        features: List[Feature] = []
         masses, intens, Pk = self._pad_peaks(spectra)
-        feats = self._build_features_batch(
-            spectra, prelim, masses, intens, Pk, self.params.report_psms
+        # Upload the padded peak arrays once; both stages reuse them
+        # (uploads dominate on tunneled links).
+        masses_dev = jnp.asarray(masses)
+        intens_dev = jnp.asarray(intens)
+        prelim = self._preliminary(spectra, masses=masses, masses_dev=masses_dev)
+        return self._features_table(
+            spectra, prelim, masses, intens, Pk, self.params.report_psms,
+            masses_dev=masses_dev, intens_dev=intens_dev,
         )
-        for fl in feats:
-            features.extend(fl)
-        return features
 
-    def _preliminary(self, spectra):
-        """Stage 1 + merge: per spectrum, the top-K preliminary candidates
-        (pep_idx, charge, isotope, matched) plus Poisson statistics."""
+    def _preliminary(self, spectra, masses=None, masses_dev=None):
+        """Stage 1 + vectorized merge: per spectrum, the top-K preliminary
+        candidates with the PreScore ordering (matched, peptide, charge,
+        isotope — scoring.rs:43-49) plus Poisson statistics. Returns flat
+        arrays grouped by spectrum (``spec_of`` ascending)."""
         p = self.params
         rows = self._expand_rows(spectra)
-        masses, _, Pk = self._pad_peaks(spectra)
+        if masses is None:
+            masses, _, Pk = self._pad_peaks(spectra)
+        else:
+            Pk = masses.shape[1]
+        if masses_dev is None:
+            masses_dev = jnp.asarray(masses)
+        n_rows = len(rows)
+        n_spec = len(spectra)
 
         max_win = max((i1 - i0 for _, _, _, i0, i1 in rows), default=1)
         W = min(next_power_of_two(max(max_win, 8)), self.tables.P_pad)
-        R = next_power_of_two(max(len(rows), 8))
+        R = next_power_of_two(max(n_rows, 8))
 
         spec_idx = np.zeros(R, dtype=np.int32)
+        row_z = np.zeros(R, dtype=np.int32)
+        row_iso = np.zeros(R, dtype=np.int32)
         p0 = np.zeros(R, dtype=np.int32)
         i0a = np.zeros(R, dtype=np.int32)
         i1a = np.zeros(R, dtype=np.int32)
         maxz = np.full(R, 2, dtype=np.int32)
         for r, (si, z, iso, i0, i1) in enumerate(rows):
             spec_idx[r] = si
+            row_z[r] = z
+            row_iso[r] = iso
             p0[r] = min(i0, self.tables.P_pad - W)
             i0a[r] = i0
             i1a[r] = i1
             maxz[r] = max_fragment_charge(p.max_fragment_charge, z)
+        # Padding rows target an empty window so they contribute nothing.
+        if R > n_rows:
+            i0a[n_rows:] = 0
+            i1a[n_rows:] = 0
 
         fn = self._stage1(W, Pk, R)
-        vals, pep, mtot, scored = fn(
-            jnp.asarray(masses), jnp.asarray(spec_idx), jnp.asarray(p0),
-            jnp.asarray(i0a), jnp.asarray(i1a), jnp.asarray(maxz),
-        )
-        vals = np.asarray(vals)
-        pep = np.asarray(pep)
-        mtot = np.asarray(mtot)
-        scored = np.asarray(scored)
-
-        # Merge rows per spectrum with the PreScore ordering
-        # (matched, peptide, charge, isotope) and take the global top-K.
-        out = []
-        per_spec_rows: List[List[int]] = [[] for _ in spectra]
-        for r, (si, *_rest) in enumerate(rows):
-            per_spec_rows[si].append(r)
-        for si, spec in enumerate(spectra):
-            cand = []
-            total_matched = 0
-            total_scored = 0
-            for r in per_spec_rows[si]:
-                _, z, iso, _, _ = rows[r]
-                total_matched += int(mtot[r])
-                total_scored += int(scored[r])
-                for k in range(self.K):
-                    m = int(vals[r, k])
-                    if m > 0:
-                        cand.append((m, int(pep[r, k]), z, iso))
-            cand.sort(reverse=True)
-            out.append(
-                {
-                    "candidates": cand[: self.K],
-                    "matched_peaks": total_matched,
-                    "scored_candidates": total_scored,
-                }
+        vals, pep, mtot, scored = jax.device_get(
+            fn(
+                masses_dev, jnp.asarray(spec_idx), jnp.asarray(p0),
+                jnp.asarray(i0a), jnp.asarray(i1a), jnp.asarray(maxz),
             )
-        return out
+        )
+        vals = vals[:n_rows]
+        pep = pep[:n_rows]
 
-    def _build_features_batch(
+        # Per-spectrum Poisson stats (sum over this spectrum's rows).
+        spec_matched = np.bincount(
+            spec_idx[:n_rows], weights=mtot[:n_rows], minlength=n_spec
+        ).astype(np.int64)
+        spec_scored = np.bincount(
+            spec_idx[:n_rows], weights=scored[:n_rows], minlength=n_spec
+        ).astype(np.int64)
+
+        # Flatten (row, k) candidates, drop zero-matched, rank per spectrum.
+        K = self.K
+        m = vals.ravel()
+        pp = pep.ravel()
+        ss = np.repeat(spec_idx[:n_rows], K)
+        zz = np.repeat(row_z[:n_rows], K)
+        ii = np.repeat(row_iso[:n_rows], K)
+        keep = m > 0
+        m, pp, ss, zz, ii = m[keep], pp[keep], ss[keep], zz[keep], ii[keep]
+        order = np.lexsort((-ii, -zz, -pp, -m, ss))
+        m, pp, ss, zz, ii = m[order], pp[order], ss[order], zz[order], ii[order]
+        # rank within spectrum group; keep the top K
+        if ss.size:
+            starts = np.r_[0, np.flatnonzero(np.diff(ss)) + 1]
+            group_start = np.repeat(starts, np.diff(np.r_[starts, ss.size]))
+            rank = np.arange(ss.size) - group_start
+            sel = rank < K
+            m, pp, ss, zz, ii = m[sel], pp[sel], ss[sel], zz[sel], ii[sel]
+
+        return {
+            "cand_matched": m.astype(np.int32),
+            "cand_pep": pp.astype(np.int32),
+            "cand_spec": ss.astype(np.int32),
+            "cand_charge": zz.astype(np.int32),
+            "cand_iso": ii.astype(np.int32),
+            "spec_matched": spec_matched,
+            "spec_scored": spec_scored,
+        }
+
+    def _features_table(
         self, spectra, prelim, masses, intens, Pk, report_psms,
-        removed_masks=None, tic_override=None,
-    ) -> List[List[Feature]]:
-        """Stage 2 + host feature assembly (scoring.rs:478-595, 675-767)."""
+        removed_masks=None, tic_override=None, masses_dev=None, intens_dev=None,
+    ) -> FeatureTable:
+        """Stage 2 + vectorized host feature assembly (scoring.rs:478-595,
+        675-767). The full rescore runs on device (compact per-item
+        outputs); the host assembles whole columns — no per-PSM Python."""
         p = self.params
-        items = []  # (spec_i, cand_i, pep, charge, iso, matched)
-        for si, pr in enumerate(prelim):
-            for (m, pep_i, z, iso) in pr["candidates"]:
-                items.append((si, pep_i, z, iso, m))
-        if not items:
-            return [[] for _ in spectra]
+        spec_i = prelim["cand_spec"]
+        pep_i = prelim["cand_pep"]
+        chg = prelim["cand_charge"]
+        iso = prelim["cand_iso"]
+        nI = spec_i.shape[0]
+        spec_ids = [s.id for s in spectra]
+        if nI == 0:
+            t = FeatureTable.empty()
+            t.spec_ids = spec_ids
+            return t
 
-        N = next_power_of_two(max(len(items), 8))
+        N = next_power_of_two(max(nI, 8))
         spec_idx = np.zeros(N, dtype=np.int32)
         pep_idx = np.zeros(N, dtype=np.int32)
         maxz = np.full(N, 2, dtype=np.int32)
-        for i, (si, pep_i, z, iso, m) in enumerate(items):
-            spec_idx[i] = si
-            pep_idx[i] = pep_i
-            maxz[i] = max_fragment_charge(p.max_fragment_charge, z)
-
-        use_int = intens if removed_masks is None else np.where(removed_masks, -1.0, intens).astype(np.float32)
-        fn = self._stage2(Pk, N)
-        midx = np.asarray(
-            fn(jnp.asarray(masses), jnp.asarray(use_int), jnp.asarray(spec_idx),
-               jnp.asarray(pep_idx), jnp.asarray(maxz))
-        )  # [N, S, L, Z]
-
-        return self._assemble(
-            spectra, prelim, items, midx, masses, intens, removed_masks,
-            report_psms, tic_override,
+        spec_idx[:nI] = spec_i
+        pep_idx[:nI] = pep_i
+        cap = (
+            np.minimum(chg, p.max_fragment_charge + 1)
+            if p.max_fragment_charge is not None
+            else chg
         )
+        maxz[:nI] = np.minimum(np.maximum(cap, 2), self.Z + 1)
 
-    def _assemble(
-        self, spectra, prelim, items, midx, masses, intens, removed_masks,
-        report_psms, tic_override,
-    ) -> List[List[Feature]]:
-        p = self.params
-        db = self.db
-        table = db.table
-        L = table.max_len
-        Z = self.Z
-        n_series = self.n_series
-        nI = len(items)
-
-        # Theoretical ladders for the involved peptides (host, exact f32)
-        b_host, y_host = _host_ladders(db, [it[1] for it in items], self.series)
-        # [nI, S, L] neutral masses
-
-        # Gather matched peak masses/intensities
-        midx = midx[:nI]  # [nI, S, L, Z]
-        matched = midx >= 0
-        safe = np.clip(midx, 0, masses.shape[1] - 1)
-        si_arr = np.array([it[0] for it in items], dtype=np.int32)
-        pk_m = masses[si_arr[:, None, None, None], safe]
-        pk_i = intens[si_arr[:, None, None, None], safe]
-        pk_m = np.where(matched, pk_m, np.float32(0.0)).astype(np.float32)
-        pk_i = np.where(matched, pk_i, np.float32(0.0)).astype(np.float32)
-
-        # Theoretical m/z per (series, ion, charge): ladder / z, f32
-        zs = np.arange(1, Z + 1, dtype=np.float32)
-        mz_c = (b_host[..., None] / zs).astype(np.float32)  # [nI, S, L, Z]
-
-        # Per-fragment ppm term (f32, reference op order, scoring.rs:719-720)
-        d = np.abs(mz_c - pk_m).astype(np.float32)
-        denom = (mz_c + pk_m).astype(np.float32)
-        ppm_terms = np.where(
-            matched,
-            ((pk_i * d).astype(np.float32) * np.float32(2e6)).astype(np.float32)
-            / np.where(denom == 0, np.float32(1.0), denom),
-            np.float32(0.0),
-        ).astype(np.float32)
-
-        is_nterm = np.array([_SERIES_NTERM[k] for k in self.series], dtype=bool)
-
-        # Sequential f32 sums in the fragments-iterator order (series-major,
-        # then ion index, then charge) — zero-padded entries don't perturb
-        # f32 accumulation.
-        flat_int = pk_i.reshape(nI, -1)
-        lens_flat = np.full(nI, n_series * L * Z, dtype=np.int32)
-        b_mask3 = is_nterm[None, :, None, None]
-        sb = seq_f32_sum_rows(np.where(b_mask3, pk_i, 0.0).reshape(nI, -1), lens_flat)
-        sy = seq_f32_sum_rows(np.where(~b_mask3, pk_i, 0.0).reshape(nI, -1), lens_flat)
-        ppm_sum = seq_f32_sum_rows(ppm_terms.reshape(nI, -1), lens_flat)
-
-        mb = (matched & b_mask3).sum(axis=(1, 2, 3))
-        my = (matched & ~b_mask3).sum(axis=(1, 2, 3))
-
-        any_z = matched.any(axis=3)  # [nI, S, L]
-
-        out: List[List[Feature]] = [[] for _ in spectra]
-        scored_lists: List[List[dict]] = [[] for _ in spectra]
-
-        for i, (si, pep_i, z, iso, _m) in enumerate(items):
-            tb = int(mb[i])
-            ty = int(my[i])
-            if tb + ty < p.min_matched_peaks:
-                continue
-            peptide = db.peptides[pep_i]
-            n_ions = len(peptide.sequence) - 1
-            # Exact port of the reference's Run tracker (scoring.rs:771-793),
-            # fed in the fragments-iterator order. Note its quirk: `last`
-            # starts at 0, so a match at ion index 0 never extends a run.
-            b_run = _Run()
-            y_run = _Run()
-            for s in range(n_series):
-                run = b_run if is_nterm[s] else y_run
-                for l in range(n_ions):
-                    if any_z[i, s, l]:
-                        run.matched(l)
-            lb = b_run.longest
-            ly = y_run.longest
-            s_b = F32(sb[i])
-            s_y = F32(sy[i])
-            hs = hyperscore(p.score_type, tb, ty, s_b, s_y)
-            ppm = F32(ppm_sum[i]) / F32(s_b + s_y) if (s_b + s_y) != 0 else F32(0.0)
-            scored_lists[si].append(
-                dict(
-                    pep=pep_i, charge=z, iso=iso, matched_b=tb, matched_y=ty,
-                    summed_b=s_b, summed_y=s_y, hyperscore=hs, ppm=F32(ppm),
-                    longest_b=lb, longest_y=ly, item=i,
-                )
+        if removed_masks is None:
+            use_int = intens
+            use_int_dev = intens_dev if intens_dev is not None else jnp.asarray(intens)
+        else:
+            use_int = np.where(removed_masks, -1.0, intens).astype(np.float32)
+            use_int_dev = jnp.asarray(use_int)
+        if masses_dev is None:
+            masses_dev = jnp.asarray(masses)
+        fn = self._stage2_compact(Pk, N)
+        mb, my, sb, sy, ppm_sum, lb, ly = jax.device_get(
+            fn(
+                masses_dev, use_int_dev, jnp.asarray(spec_idx),
+                jnp.asarray(pep_idx), jnp.asarray(maxz),
             )
+        )
+        mb, my = mb[:nI], my[:nI]
+        sb, sy, ppm_sum = sb[:nI], sy[:nI], ppm_sum[:nI]
+        lb, ly = lb[:nI], ly[:nI]
 
+        # Vectorized exact feature math
+        hs = hyperscore_vec(p.score_type, mb, my, sb, sy)
+        ssum = (sb + sy).astype(np.float32)
+        ppm = np.where(
+            ssum != 0, ppm_sum / np.where(ssum == 0, np.float32(1.0), ssum), 0.0
+        ).astype(np.float32)
+        ok = (mb + my) >= p.min_matched_peaks
+        if not ok.any():
+            t = FeatureTable.empty()
+            t.spec_ids = spec_ids
+            return t
+
+        # Group candidates by spectrum (cand arrays are spectrum-ascending),
+        # stable-sort each group by hyperscore desc (scoring.rs:495).
+        idx_all = np.flatnonzero(ok)
+        order = np.lexsort((-hs[idx_all], spec_i[idx_all]))
+        items = idx_all[order]
+        s_srt = spec_i[items]
+        hs_srt = hs[items]
+        starts = np.r_[0, np.flatnonzero(np.diff(s_srt)) + 1]
+        counts = np.diff(np.r_[starts, s_srt.size])
+        group_start = np.repeat(starts, counts)
+        rank = np.arange(s_srt.size) - group_start
+
+        # delta_next vs the next candidate in the same group (0 past the
+        # end); delta_best vs the group's best.
+        nxt = np.r_[hs_srt[1:], 0.0]
+        same = np.r_[s_srt[1:] == s_srt[:-1], False]
+        delta_next = hs_srt - np.where(same, nxt, 0.0)
+        delta_best = hs_srt[group_start] - hs_srt
+
+        rep = rank < report_psms
+        ri = items[rep]  # original candidate indices of reported PSMs
+        n_rep = ri.size
+
+        # Per-spectrum metadata columns
+        n_spec = len(spectra)
+        sp_rt = np.zeros(n_spec, np.float32)
+        sp_tic = np.zeros(n_spec, np.float32)
+        sp_mz = np.zeros(n_spec, np.float32)
+        sp_ims = np.zeros(n_spec, np.float32)
+        sp_file = np.zeros(n_spec, np.int32)
         for si, spec in enumerate(spectra):
-            sv = scored_lists[si]
-            # stable sort by hyperscore desc (scoring.rs:495)
-            sv.sort(key=lambda s: -s["hyperscore"])
-            if not sv:
-                continue
-            pr = prelim[si]
-            lam = (
-                pr["matched_peaks"] / pr["scored_candidates"]
-                if pr["scored_candidates"]
+            prec = spec.precursors[0]
+            sp_rt[si] = spec.scan_start_time
+            sp_tic[si] = spec.total_ion_current
+            sp_mz[si] = F32(F32(prec.mz) - PROTON)
+            sp_ims[si] = (
+                prec.inverse_ion_mobility
+                if prec.inverse_ion_mobility is not None
                 else 0.0
             )
-            prec = spec.precursors[0]
-            mz = F32(F32(prec.mz) - PROTON)
-            best = sv[0]["hyperscore"]
-            tic = tic_override[si] if tic_override is not None else spec.total_ion_current
-            for idx in range(min(report_psms, len(sv))):
-                s = sv[idx]
-                nxt = sv[idx + 1]["hyperscore"] if idx + 1 < len(sv) else 0.0
-                feat = self._make_feature(
-                    spec, s, idx, lam, mz, best, nxt, tic, pr["scored_candidates"],
+            sp_file[si] = spec.file_id
+        if tic_override is not None:
+            sp_tic = np.asarray(tic_override, np.float32)
+
+        tbl = self.db.table
+        s_of = spec_i[ri]
+        pep = pep_i[ri]
+        z_of = chg[ri]
+
+        pm = (sp_mz[s_of] * z_of.astype(np.float32)).astype(np.float32)
+        calc = tbl.mono[pep]
+        iso_err = (iso[ri].astype(np.float32) * NEUTRON).astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            delta_mass = (
+                (((pm - calc).astype(np.float32) - iso_err).astype(np.float32)
+                 * np.float32(2e6)).astype(np.float32)
+                / ((pm - iso_err).astype(np.float32) + calc).astype(np.float32)
+            ).astype(np.float32)
+        k_match = (mb[ri] + my[ri]).astype(np.int32)
+        scored_cand = prelim["spec_scored"][s_of].astype(np.int32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(
+                prelim["spec_scored"] > 0,
+                prelim["spec_matched"] / np.maximum(prelim["spec_scored"], 1),
+                0.0,
+            )
+        poisson = log10_poisson_vec(lam[s_of], k_match)
+        msum = (sb[ri] + sy[ri]).astype(np.float32)
+        tic_col = sp_tic[s_of]
+        plen = tbl.lens[pep].astype(np.int32)
+
+        t = FeatureTable.empty(n_rep)
+        c = t.columns
+        c["peptide_idx"][:] = pep
+        c["psm_id"][:] = np.arange(
+            self._psm_counter, self._psm_counter + n_rep, dtype=np.int64
+        )
+        self._psm_counter += n_rep
+        c["peptide_len"][:] = plen
+        c["spec_idx"][:] = s_of
+        c["file_id"][:] = sp_file[s_of]
+        c["rank"][:] = rank[rep] + 1
+        c["label"][:] = np.where(tbl.decoy[pep], -1, 1)
+        c["expmass"][:] = pm
+        c["calcmass"][:] = calc
+        c["charge"][:] = z_of
+        c["rt"][:] = sp_rt[s_of]
+        c["aligned_rt"][:] = sp_rt[s_of]
+        c["ims"][:] = sp_ims[s_of]
+        c["delta_mass"][:] = delta_mass
+        c["isotope_error"][:] = iso_err
+        c["average_ppm"][:] = ppm[ri]
+        c["hyperscore"][:] = hs[ri]
+        c["delta_next"][:] = delta_next[rep]
+        c["delta_best"][:] = delta_best[rep]
+        c["matched_peaks"][:] = k_match
+        c["longest_b"][:] = lb[ri]
+        c["longest_y"][:] = ly[ri]
+        c["longest_y_pct"][:] = (
+            ly[ri].astype(np.float32) / plen.astype(np.float32)
+        ).astype(np.float32)
+        c["missed_cleavages"][:] = tbl.missed_cleavages[pep]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c["matched_intensity_pct"][:] = (
+                (np.float32(100.0) * msum).astype(np.float32) / tic_col
+            ).astype(np.float32)
+        c["scored_candidates"][:] = scored_cand
+        c["poisson"][:] = poisson
+        c["ms2_intensity"][:] = msum
+        t.spec_ids = spec_ids
+
+        if p.annotate_matches:
+            t.fragments = [
+                self._annotate_item(
+                    int(pep[i]), int(z_of[i]), int(s_of[i]), masses, use_int, Pk
                 )
-                if p.annotate_matches:
-                    feat.fragments = self._annotate(
-                        s["item"], s["pep"], midx, masses, intens, si, b_host
-                    )
-                out[si].append(feat)
-        return out
+                for i in range(n_rep)
+            ]
+        return t
 
-    def _make_feature(self, spec, s, idx, lam, mz, best, nxt, tic, scored_candidates):
-        db = self.db
-        peptide = db.peptides[s["pep"]]
-        pm = F32(mz * F32(s["charge"]))
-        k = s["matched_b"] + s["matched_y"]
-        iso_err = F32(F32(s["iso"]) * NEUTRON)
-        calc = peptide.monoisotopic
-        delta_mass = (
-            F32(F32(F32(pm - calc) - iso_err) * F32(2e6))
-            / F32(F32(pm - iso_err) + calc)
-        )
-        poisson = log10_poisson(lam, k)
-        psm_id = self._psm_counter
-        self._psm_counter += 1
-        ims = spec.precursors[0].inverse_ion_mobility
-        return Feature(
-            peptide_idx=s["pep"],
-            psm_id=psm_id,
-            peptide_len=len(peptide.sequence),
-            spec_id=spec.id,
-            file_id=spec.file_id,
-            rank=idx + 1,
-            label=peptide.label(),
-            expmass=float(pm),
-            calcmass=float(calc),
-            charge=s["charge"],
-            rt=float(spec.scan_start_time),
-            aligned_rt=float(spec.scan_start_time),
-            ims=float(ims if ims is not None else 0.0),
-            delta_mass=float(delta_mass),
-            isotope_error=float(iso_err),
-            average_ppm=float(s["ppm"]),
-            hyperscore=s["hyperscore"],
-            delta_next=s["hyperscore"] - nxt,
-            delta_best=best - s["hyperscore"],
-            matched_peaks=k,
-            matched_intensity_pct=float(
-                F32(F32(100.0) * F32(s["summed_b"] + s["summed_y"])) / F32(tic)
-            ),
-            poisson=poisson,
-            longest_b=s["longest_b"],
-            longest_y=s["longest_y"],
-            longest_y_pct=float(F32(s["longest_y"]) / F32(len(peptide.sequence))),
-            scored_candidates=scored_candidates,
-            missed_cleavages=peptide.missed_cleavages,
-            ms2_intensity=float(F32(s["summed_b"] + s["summed_y"])),
-        )
+    def _annotate_item(self, pep_i, charge, si, masses, intens, Pk):
+        """Matched-fragment annotations for one reported PSM
+        (scoring.rs:738-751) — recomputed on host with the exact scalar
+        peak-selection semantics; only runs for reported PSMs."""
+        from ..spectrum.processor import select_most_intense_peak
 
-    def _annotate(self, item_i, pep_i, midx, masses, intens, si, b_host):
-        """Matched-fragment annotations (scoring.rs:738-751)."""
         db = self.db
-        L = db.table.max_len
         peptide = db.peptides[pep_i]
         n_ions = len(peptide.sequence) - 1
+        lad, _ = _host_ladders(db, [pep_i], self.series)
+        mzmax = max_fragment_charge(self.params.max_fragment_charge, charge)
         frags = Fragments()
-        zs = np.arange(1, self.Z + 1, dtype=np.float32)
+        sm = masses[si]
+        sv = intens[si]
         for s, kind in enumerate(self.series):
             for l in range(n_ions):
-                for zi in range(self.Z):
-                    pk = int(midx[item_i, s, l, zi])
-                    if pk < 0:
+                for z in range(1, mzmax):
+                    center = F32(lad[0, s, l] / F32(z))
+                    # select_most_intense_peak starts its running max at 0,
+                    # so removed peaks (intensity -1) can never be chosen —
+                    # matching the device's `pki >= 0` qualifier.
+                    pk = select_most_intense_peak(
+                        sm, sv, center, self.params.fragment_tol
+                    )
+                    if pk is None:
                         continue
-                    calc_mz = F32(F32(b_host[item_i, s, l] / zs[zi]) + PROTON)
-                    exp_mz = F32(masses[si, pk] + PROTON)
+                    calc_mz = F32(center + PROTON)
+                    exp_mz = F32(sm[pk] + PROTON)
                     ordinal = l + 1 if _SERIES_NTERM[kind] else n_ions - l
                     frags.kinds.append(kind)
-                    frags.charges.append(zi + 1)
+                    frags.charges.append(z)
                     frags.mz_calculated.append(float(calc_mz))
                     frags.mz_experimental.append(float(exp_mz))
                     frags.fragment_ordinals.append(int(ordinal))
-                    frags.intensities.append(float(intens[si, pk]))
+                    frags.intensities.append(float(sv[pk]))
         return frags
 
     # ------------------------------------------------------------------
     # Chimera mode (scoring.rs:598-672)
     # ------------------------------------------------------------------
 
-    def _score_chimera(self, spectra) -> List[Feature]:
+    def _score_chimera(self, spectra) -> FeatureTable:
         p = self.params
         prelim = self._preliminary(spectra)
         masses, intens, Pk = self._pad_peaks(spectra)
         removed = np.zeros_like(intens, dtype=bool)
         tic = np.array([s.total_ion_current for s in spectra], dtype=np.float32)
-        results: List[List[Feature]] = [[] for _ in spectra]
+        rounds: List[FeatureTable] = []
+        n_hits = np.zeros(len(spectra), dtype=np.int32)
         active = set(range(len(spectra)))
         for _ in range(p.report_psms):
             if not active:
                 break
-            feats = self._build_features_batch(
+            t = self._features_table(
                 spectra, prelim, masses, intens, Pk, 1,
                 removed_masks=removed, tic_override=tic,
             )
+            keep_rows = []
             newly = set()
-            for si in list(active):
-                fl = feats[si]
-                if not fl:
+            for i in range(len(t)):
+                si = int(t.columns["spec_idx"][i])
+                if si not in active:
                     continue
-                feat = fl[0]
-                feat.rank = len(results[si]) + 1
-                results[si].append(feat)
+                keep_rows.append(i)
+                n_hits[si] += 1
+                t.columns["rank"][i] = n_hits[si]
                 newly.add(si)
-                # Remove peaks matched by this PSM's full ladders
-                self._remove_matched(si, feat, masses, intens, removed)
+                self._remove_matched(
+                    si,
+                    int(t.columns["peptide_idx"][i]),
+                    int(t.columns["charge"][i]),
+                    masses,
+                    intens,
+                    removed,
+                )
                 tic[si] = seq_f32_sum_rows(
-                    np.where(removed[si], 0.0, np.where(np.isfinite(masses[si]), intens[si], 0.0))[None, :],
+                    np.where(
+                        removed[si],
+                        0.0,
+                        np.where(np.isfinite(masses[si]), intens[si], 0.0),
+                    )[None, :],
                     np.array([intens.shape[1]], dtype=np.int32),
                 )[0]
-            active = {si for si in newly if len(results[si]) < p.report_psms}
-        out: List[Feature] = []
-        for fl in results:
-            out.extend(fl)
-        return out
+            if not keep_rows:
+                break
+            rounds.append(t.select(np.asarray(keep_rows, dtype=np.int64)))
+            active = {si for si in newly if n_hits[si] < p.report_psms}
+        if not rounds:
+            out = FeatureTable.empty()
+            out.spec_ids = [s.id for s in spectra]
+            return out
+        # All rounds share the same spec_ids list; concat would re-base
+        # spec_idx, so merge manually.
+        merged = FeatureTable.empty(sum(len(t) for t in rounds))
+        off = 0
+        for t in rounds:
+            n = len(t)
+            for k in merged.columns:
+                merged.columns[k][off : off + n] = t.columns[k]
+            merged.protein_groups[off : off + n] = t.protein_groups
+            merged.fragments[off : off + n] = t.fragments
+            off += n
+        merged.spec_ids = rounds[0].spec_ids
+        return merged
 
-    def _remove_matched(self, si, feat, masses, intens, removed):
+    def _remove_matched(self, si, pep_i, charge, masses, intens, removed):
         """scoring.rs:598-644: mark peaks matched by the PSM's complete
         theoretical ladder (all charges) as removed."""
         from ..spectrum.processor import select_most_intense_peak
 
         db = self.db
-        pep_i = feat.peptide_idx
         b_host, _ = _host_ladders(db, [pep_i], self.series)
         n_ions = len(db.peptides[pep_i].sequence) - 1
-        mzmax = max_fragment_charge(self.params.max_fragment_charge, feat.charge)
+        mzmax = max_fragment_charge(self.params.max_fragment_charge, charge)
         valid = np.isfinite(masses[si]) & ~removed[si]
         vm = masses[si][valid]
         vi = intens[si][valid]
