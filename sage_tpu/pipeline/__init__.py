@@ -1,0 +1,1 @@
+"""Pipeline orchestration: config, runner, output writers."""

@@ -1,0 +1,268 @@
+"""Pipeline driver: database build, batched search, rescoring, FDR,
+quant, outputs.
+
+Reference: crates/sage-cli/src/runner.rs — Runner::new builds the
+database from FASTA (with optional prefilter), Runner::run batches mzML
+files, searches each batch, then runs RT alignment + RT/IM prediction,
+LDA rescoring, spectrum/peptide/protein/protein-group FDR, protein
+grouping, TMT/LFQ quant, and writes every output artifact.
+
+TPU-first differences: spectra are scored in large padded batches on the
+device (ops/search.py) instead of per-spectrum rayon tasks, and PSMs
+accumulate in a columnar FeatureTable.
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import fdr as fdr_mod
+from .. import protein_grouping
+from ..chem.fasta import Fasta
+from ..chem.mass import Tolerance
+from ..index.builder import IndexedDatabase
+from ..io.mzml import read_mzml
+from ..ml import lda, mobility_model, qvalue, retention_alignment, retention_model
+from ..ops.features import FeatureTable
+from ..ops.search import Scorer, SearchParams
+from ..quant import tmt as tmt_mod
+from ..spectrum.processor import ProcessedSpectrum, SpectrumProcessor
+from .input import Search
+from .output import OutputWriter
+
+log = logging.getLogger("sage_tpu")
+
+# device batch size for spectrum scoring
+SCORE_BATCH = 4096
+
+
+def read_fasta(path: str, decoy_tag: str, generate_decoys: bool) -> Fasta:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt") as f:
+            contents = f.read()
+    else:
+        with open(path) as f:
+            contents = f.read()
+    return Fasta.parse(contents, decoy_tag, generate_decoys)
+
+
+class Runner:
+    def __init__(self, parameters: Search):
+        self.parameters = parameters
+        self.start = time.monotonic()
+        db_params = parameters.database
+        fasta = read_fasta(db_params.fasta, db_params.decoy_tag, db_params.generate_decoys)
+        t0 = time.monotonic()
+        if db_params.prefilter:
+            # prefilter mode handled during batch search (runner.rs:104-127)
+            self.database = None
+            self._fasta = fasta
+        else:
+            self.database = db_params.build(fasta)
+            self._fasta = None
+        log.info(
+            "generated %d fragments, %d peptides in %dms",
+            self.database.num_fragments if self.database else 0,
+            len(self.database) if self.database else 0,
+            int((time.monotonic() - t0) * 1000),
+        )
+
+    # ------------------------------------------------------------------
+
+    def search_params(self) -> SearchParams:
+        p = self.parameters
+        return SearchParams(
+            precursor_tol=p.precursor_tol,
+            fragment_tol=p.fragment_tol,
+            min_matched_peaks=p.min_matched_peaks,
+            min_isotope_err=p.isotope_errors[0],
+            max_isotope_err=p.isotope_errors[1],
+            min_precursor_charge=p.precursor_charge[0],
+            max_precursor_charge=p.precursor_charge[1],
+            override_precursor_charge=p.override_precursor_charge,
+            max_fragment_charge=p.max_fragment_charge,
+            chimera=p.chimera,
+            report_psms=p.report_psms,
+            wide_window=p.wide_window,
+            annotate_matches=p.annotate_matches,
+            score_type=p.score_type,
+        )
+
+    def _spectrum_processor(self) -> SpectrumProcessor:
+        p = self.parameters
+        min_deisotope_mz = 0.0
+        if p.quant.tmt is not None and p.quant.tmt_settings.level == 2:
+            masses = p.quant.tmt.reporter_masses()
+            if len(masses):
+                min_deisotope_mz = float(masses[-1] * (1.0 + 20e-6))
+        return SpectrumProcessor(
+            take_top_n=p.max_peaks,
+            deisotope=p.deisotope,
+            min_deisotope_mz=min_deisotope_mz,
+        )
+
+    def read_file(self, path: str, file_id: int) -> List[ProcessedSpectrum]:
+        p = self.parameters
+        sn_level = p.quant.tmt_settings.level if p.quant.tmt_settings.sn else None
+        sp = self._spectrum_processor()
+        raw = read_mzml(path, file_id=file_id, signal_to_noise=sn_level)
+        return [sp.process(s) for s in raw]
+
+    def process_file(
+        self, scorer: Scorer, path: str, file_id: int
+    ) -> Tuple[FeatureTable, list, List[ProcessedSpectrum]]:
+        """Read, search and TMT-quantify one file (process_chunk,
+        runner.rs:365-375)."""
+        p = self.parameters
+        t0 = time.monotonic()
+        spectra = self.read_file(path, file_id)
+        log.info("- file IO: %8d ms", int((time.monotonic() - t0) * 1000))
+
+        ms2 = [
+            s for s in spectra if s.level == 2 and len(s) >= p.min_peaks
+        ]
+        t0 = time.monotonic()
+        tables = []
+        for i in range(0, len(ms2), SCORE_BATCH):
+            tables.append(scorer.score_table(ms2[i : i + SCORE_BATCH]))
+        features = FeatureTable.concat(tables) if tables else FeatureTable.empty()
+        dt = time.monotonic() - t0
+        log.info(
+            "- search:  %8d ms (%d spectra/s)",
+            int(dt * 1000),
+            int(len(ms2) / dt) if dt > 0 else 0,
+        )
+
+        quant = []
+        if p.quant.tmt is not None:
+            level = p.quant.tmt_settings.level
+            if level != 2 and level != 3:
+                log.warning("TMT quant level set at %d, is this correct?", level)
+            quant = tmt_mod.quantify(
+                spectra, p.quant.tmt, Tolerance("ppm", -20.0, 20.0), level
+            )
+
+        ms1 = [s for s in spectra if s.level == 1] if p.quant.lfq else []
+        return features, quant, ms1
+
+    # ------------------------------------------------------------------
+
+    def run(self) -> dict:
+        p = self.parameters
+        scorer = Scorer(self.database, self.search_params())
+
+        all_tables = []
+        all_quant = []
+        all_ms1: List[ProcessedSpectrum] = []
+        for file_id, path in enumerate(p.mzml_paths):
+            feats, quant, ms1 = self.process_file(scorer, path, file_id)
+            all_tables.append(feats)
+            all_quant.extend(quant)
+            all_ms1.extend(ms1)
+        features = FeatureTable.concat(all_tables)
+
+        alignments = None
+        if p.predict_rt:
+            # Poisson is usually the best single feature; use it to get a
+            # confident PSM set for RT model training (runner.rs:513-531)
+            order = np.argsort(features.columns["poisson"], kind="stable")
+            features = features.select(order)
+            q, _ = qvalue.spectrum_q_value(features.columns["label"])
+            features.columns["spectrum_q"][:] = q
+            alignments = retention_alignment.global_alignment(
+                features, len(p.mzml_paths)
+            )
+            retention_model.predict(self.database, features)
+            mobility_model.predict(self.database, features)
+
+        q_spectrum = self.spectrum_fdr(features)
+        q_peptide = fdr_mod.picked_peptide(self.database, features)
+        q_protein = fdr_mod.picked_protein(self.database, features)
+        protein_grouping.generate_protein_groups(
+            self.database,
+            features,
+            p.protein_grouping,
+            p.protein_grouping_peptide_fdr,
+        )
+        q_protein_group = fdr_mod.picked_protein_group(self.database, features)
+
+        filenames = [path.split("/")[-1] for path in p.mzml_paths]
+
+        areas = None
+        if p.quant.lfq and alignments is not None:
+            from ..quant import lfq as lfq_mod
+
+            log.info("performing LFQ")
+            feature_map = lfq_mod.build_feature_map(
+                p.quant.lfq_settings, p.precursor_charge, self.database, features
+            )
+            areas = feature_map.quantify(self.database, all_ms1, alignments)
+            q_precursor = lfq_mod.assign_precursor_q(areas)
+            log.info("discovered %d target MS1 peaks at 5%% FDR", q_precursor)
+
+        log.info(
+            "discovered %d target peptide-spectrum matches at 1%% FDR", q_spectrum
+        )
+        log.info("discovered %d target peptides at 1%% FDR", q_peptide)
+        log.info(
+            "discovered %d target proteins (supported by proteotypic peptides "
+            "only) at 1%% FDR", q_protein,
+        )
+        log.info(
+            "discovered %d target protein groups (supported by proteotypic "
+            "peptides only) at 1%% FDR", q_protein_group,
+        )
+
+        writer = OutputWriter(self.database, p.output_directory)
+        p.output_paths.append(writer.write_features(features, filenames))
+        if p.annotate_matches:
+            p.output_paths.append(writer.write_fragments(features))
+        if all_quant:
+            p.output_paths.append(writer.write_tmt(all_quant, p.quant.tmt, filenames))
+        if areas is not None:
+            p.output_paths.append(writer.write_lfq(areas, filenames))
+        if p.write_pin:
+            p.output_paths.append(writer.write_pin(features, filenames))
+        p.output_paths.append(writer.write_results_json(p.to_json_dict()))
+
+        run_time = int(time.monotonic() - self.start)
+        log.info("finished in %ds", run_time)
+        return {
+            "features": features,
+            "q_spectrum": q_spectrum,
+            "q_peptide": q_peptide,
+            "q_protein": q_protein,
+            "q_protein_group": q_protein_group,
+            "run_time": run_time,
+        }
+
+    def spectrum_fdr(self, features: FeatureTable) -> int:
+        """runner.rs:280-291: LDA with heuristic fallback, then sort by
+        discriminant score and assign spectrum q-values."""
+        c = features.columns
+        if lda.score_psms(features, self.parameters.precursor_tol) is None:
+            log.warning(
+                "linear model fitting failed, falling back to heuristic "
+                "discriminant score"
+            )
+            heur = np.log1p(-c["poisson"]).astype(np.float32) + (
+                c["longest_y_pct"].astype(np.float32) / np.float32(3.0)
+            )
+            c["discriminant_score"][:] = heur.astype(np.float64)
+        order = np.argsort(-c["discriminant_score"], kind="stable")
+        _reorder_inplace(features, order)
+        q, passing = qvalue.spectrum_q_value(c["label"])
+        c["spectrum_q"][:] = q
+        return passing
+
+
+def _reorder_inplace(t: FeatureTable, order: np.ndarray) -> None:
+    for k in t.columns:
+        t.columns[k] = t.columns[k][order]
+    t.protein_groups = [t.protein_groups[i] for i in order]
+    t.fragments = [t.fragments[i] for i in order]

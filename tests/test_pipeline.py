@@ -1,0 +1,104 @@
+"""End-to-end pipeline test: run the full Runner on the bundled
+single-scan mzML with the reference's tests/config.json parameters and
+validate the TSV output contract (the analog of the reference's CI run,
+.github/workflows/rust.yml:24-33)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+CONFIG = {
+    "database": {
+        "bucket_size": 16384,
+        "enzyme": {
+            "missed_cleavages": 1,
+            "min_len": 7,
+            "max_len": 30,
+            "cleave_at": "KR",
+            "restrict": "P",
+        },
+        "peptide_min_mass": 500.0,
+        "peptide_max_mass": 5000.0,
+        "min_ion_index": 2,
+        "static_mods": {"C": 57.0215},
+        "max_variable_mods": 2,
+        "decoy_tag": "rev_",
+        "fasta": "/root/reference/tests/Q99536.fasta",
+    },
+    "precursor_tol": {"ppm": [-50, 50]},
+    "fragment_tol": {"ppm": [-10, 10]},
+    "isotope_errors": [-1, 3],
+    "deisotope": True,
+    "mzml_paths": ["/root/reference/tests/LQSRPAAPPAPGPGQLTLR.mzML"],
+}
+
+
+@pytest.fixture(scope="module")
+def run_result(tmp_path_factory):
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    outdir = str(tmp_path_factory.mktemp("sage_out"))
+    cfg = dict(CONFIG)
+    search = build_search(
+        cfg, output_directory=outdir, write_pin=True, annotate_matches=True
+    )
+    runner = Runner(search)
+    result = runner.run()
+    return search, runner, result, outdir
+
+
+def test_tsv_contract(run_result):
+    search, runner, result, outdir = run_result
+    tsv = os.path.join(outdir, "results.sage.tsv")
+    lines = open(tsv).read().splitlines()
+    header = lines[0].split("\t")
+    assert len(header) == 43
+    assert header[0] == "psm_id" and header[-1] == "ms2_intensity"
+    assert len(lines) == 2  # 1 PSM
+    row = dict(zip(header, lines[1].split("\t")))
+    assert row["peptide"] == "LQSRPAAPPAPGPGQLTLR"
+    assert row["proteins"] == "sp|Q99536|VAT1_HUMAN"
+    assert row["charge"] == "3"
+    assert row["label"] == "1"
+    assert row["rank"] == "1"
+    assert row["scannr"] == "controllerType=0 controllerNumber=1 scan=30069"
+    assert int(row["matched_peaks"]) == 22  # top-150 peak selection
+    assert float(row["hyperscore"]) > 0
+    # q-values saturate at 1.0 with a single PSM and no decoys
+    assert row["spectrum_q"] == "1.0"
+    assert row["peptide_q"] == "1.0"
+
+
+def test_pin_output(run_result):
+    search, runner, result, outdir = run_result
+    pin = os.path.join(outdir, "results.sage.pin")
+    lines = open(pin).read().splitlines()
+    header = lines[0].split("\t")
+    assert len(header) == 39
+    assert header[0] == "SpecId" and header[-1] == "Proteins"
+    row = dict(zip(header, lines[1].split("\t")))
+    assert row["ScanNr"] == "30069"  # extracted via scan=(\d+) regex
+    assert row["z=3"] == "1" and row["z=2"] == "0"
+    assert row["Peptide"] == "LQSRPAAPPAPGPGQLTLR"
+
+
+def test_fragment_annotations(run_result):
+    search, runner, result, outdir = run_result
+    frags = os.path.join(outdir, "matched_fragments.sage.tsv")
+    lines = open(frags).read().splitlines()
+    assert lines[0].startswith("psm_id\tfragment_type")
+    assert len(lines) == 23  # header + 22 matched fragments
+    kinds = {ln.split("\t")[1] for ln in lines[1:]}
+    assert kinds <= {"b", "y"}
+
+
+def test_results_json(run_result):
+    search, runner, result, outdir = run_result
+    params = json.load(open(os.path.join(outdir, "results.json")))
+    assert params["precursor_tol"] == {"ppm": [-50.0, 50.0]}
+    assert params["isotope_errors"] == [-1, 3]
+    assert params["database"]["fasta"].endswith("Q99536.fasta")
+    assert any(p.endswith("results.sage.tsv") for p in params["output_paths"])
