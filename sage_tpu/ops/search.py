@@ -78,6 +78,16 @@ def max_fragment_charge(cfg: Optional[int], precursor_charge: int) -> int:
     return max(min(precursor_charge, cap), 2)
 
 
+def _pad_count(n: int) -> int:
+    """Batch-axis padding: powers of two up to 8192, then multiples of 8192.
+    Bounds both the number of compiled executables and the padding waste
+    (next_power_of_two alone wastes up to 2x at large batch sizes)."""
+    n = max(n, 8)
+    if n <= 8192:
+        return next_power_of_two(n)
+    return ((n + 8191) // 8192) * 8192
+
+
 @dataclasses.dataclass
 class SearchParams:
     """Scorer configuration (scoring.rs:210-232)."""
@@ -237,10 +247,9 @@ class Scorer:
     def _series_valid_mask(self, lens_c, L):
         return series_valid_mask(lens_c, L, self.series, self.min_ion_index)
 
-    def _build_stage1(self, W: int, Pk: int, R: int):
+    def _build_stage1(self, W: int, Pk: int, R: int, Z: int):
         tables = self.tables
         L = tables.L
-        Z = self.Z
         K = self.K
         frag_tol = self.params.fragment_tol
         n_series = self.n_series
@@ -279,7 +288,7 @@ class Scorer:
 
         return jax.jit(run)
 
-    def _build_stage2_compact(self, Pk: int, N: int):
+    def _build_stage2_compact(self, Pk: int, N: int, Z: Optional[int] = None):
         """Full-rescore stage returning compact per-item features — the
         entire score_candidate computation (scoring.rs:675-767) stays on
         device: per-(fragment, charge) most-intense-peak match, strictly
@@ -289,7 +298,8 @@ class Scorer:
         which matters on links where a device->host fetch costs ~100 ms."""
         tables = self.tables
         L = tables.L
-        Z = self.Z
+        if Z is None:
+            Z = self.Z
         frag_tol = self.params.fragment_tol
         n_series = self.n_series
         series = self.series
@@ -449,10 +459,10 @@ class Scorer:
 
         return jax.jit(run)
 
-    def _stage1(self, W, Pk, R):
-        key = (W, Pk, R)
+    def _stage1(self, W, Pk, R, Z):
+        key = (W, Pk, R, Z)
         if key not in self._stage1_cache:
-            self._stage1_cache[key] = self._build_stage1(W, Pk, R)
+            self._stage1_cache[key] = self._build_stage1(W, Pk, R, Z)
         return self._stage1_cache[key]
 
     def _stage2(self, Pk, N):
@@ -461,10 +471,10 @@ class Scorer:
             self._stage2_cache[key] = self._build_stage2(Pk, N)
         return self._stage2_cache[key]
 
-    def _stage2_compact(self, Pk, N):
-        key = ("c", Pk, N)
+    def _stage2_compact(self, Pk, N, Z):
+        key = ("c", Pk, N, Z)
         if key not in self._stage2_cache:
-            self._stage2_cache[key] = self._build_stage2_compact(Pk, N)
+            self._stage2_cache[key] = self._build_stage2_compact(Pk, N, Z)
         return self._stage2_cache[key]
 
     # ------------------------------------------------------------------
@@ -473,41 +483,92 @@ class Scorer:
 
     def _expand_rows(self, spectra: Sequence[ProcessedSpectrum]):
         """initial_hits charge/isotope expansion (scoring.rs:384-462): one
-        query row per (spectrum, precursor charge, isotope error)."""
+        query row per (spectrum, precursor charge, isotope error).
+
+        Vectorized: all precursor-window bounds and peptide-table binary
+        searches run as whole-array numpy f32 ops (elementwise identical to
+        the reference's scalar f32 math). Returns a dict of row arrays
+        {si, z, iso, i0, i1}."""
         p = self.params
         mono = self.db.table.mono
-        P = self.tables.P_real
-        rows = []  # (spec_i, charge, isotope, i0, i1)
+        n = len(spectra)
+        prec_mz = np.empty(n, np.float32)
+        prec_z = np.zeros(n, np.int32)
         for si, spec in enumerate(spectra):
             if not spec.precursors:
                 raise ValueError(f"missing MS1 precursor for {spec.id}")
             prec = spec.precursors[0]
-            mz = F32(F32(prec.mz) - PROTON)
-            if p.wide_window:
-                charge_tols = []
-                for z in range(p.min_precursor_charge, p.max_precursor_charge + 1):
-                    base = prec.isolation_window or Tolerance("da", -2.4, 2.4)
-                    charge_tols.append((z, base * float(z)))
-            elif prec.charge is not None and not p.override_precursor_charge:
-                charge_tols = [(prec.charge, p.precursor_tol)]
-            else:
-                charge_tols = [
-                    (z, p.precursor_tol)
-                    for z in range(p.min_precursor_charge, p.max_precursor_charge + 1)
-                ]
-            if p.min_isotope_err != p.max_isotope_err:
-                isotopes = range(p.min_isotope_err, p.max_isotope_err + 1)
-            else:
-                isotopes = [0]
-            for z, tol in charge_tols:
-                pm = F32(mz * F32(z))
-                for iso in isotopes:
-                    qm = F32(pm - F32(F32(iso) * NEUTRON))
-                    lo, hi = tol.bounds(qm)
-                    i0 = int(np.searchsorted(mono, lo, side="left"))
-                    i1 = int(np.searchsorted(mono, hi, side="right"))
-                    rows.append((si, z, iso, i0, i1))
-        return rows
+            prec_mz[si] = F32(prec.mz)
+            if prec.charge is not None:
+                prec_z[si] = prec.charge
+        mz = prec_mz - F32(PROTON)
+
+        if p.min_isotope_err != p.max_isotope_err:
+            iso_list = np.arange(
+                p.min_isotope_err, p.max_isotope_err + 1, dtype=np.int32
+            )
+        else:
+            iso_list = np.zeros(1, dtype=np.int32)
+        n_iso = iso_list.size
+        zmin, zmax = p.min_precursor_charge, p.max_precursor_charge
+        z_sweep = np.arange(zmin, zmax + 1, dtype=np.int32)
+        nz = z_sweep.size
+
+        if p.wide_window:
+            # Per-spectrum isolation windows differ and the scaled-tolerance
+            # bounds must keep the reference's scalar f32 op order, so this
+            # (rarer) mode stays a scalar loop.
+            si_l, z_l, iso_l, lo_l, hi_l = [], [], [], [], []
+            for si, spec in enumerate(spectra):
+                base = spec.precursors[0].isolation_window or Tolerance(
+                    "da", -2.4, 2.4
+                )
+                for z in z_sweep:
+                    tol = base * float(z)
+                    pm = F32(mz[si] * F32(z))
+                    for iso in iso_list:
+                        qm = F32(pm - F32(F32(iso) * NEUTRON))
+                        lo, hi = tol.bounds(qm)
+                        si_l.append(si)
+                        z_l.append(int(z))
+                        iso_l.append(int(iso))
+                        lo_l.append(lo)
+                        hi_l.append(hi)
+            si_rows = np.asarray(si_l, np.int32)
+            z_rows = np.asarray(z_l, np.int32)
+            iso_rows = np.asarray(iso_l, np.int32)
+            lo_all = np.asarray(lo_l, np.float32)
+            hi_all = np.asarray(hi_l, np.float32)
+        else:
+            ann = (prec_z > 0) & (not p.override_precursor_charge)
+            ann_idx = np.flatnonzero(ann)
+            sw_idx = np.flatnonzero(~ann)
+            si_a = np.repeat(ann_idx.astype(np.int32), n_iso)
+            z_a = np.repeat(prec_z[ann_idx], n_iso)
+            iso_a = np.tile(iso_list, ann_idx.size)
+            si_s = np.repeat(sw_idx.astype(np.int32), nz * n_iso)
+            z_s = np.tile(np.repeat(z_sweep, n_iso), sw_idx.size)
+            iso_s = np.tile(iso_list, nz * sw_idx.size)
+            si_rows = np.concatenate([si_a, si_s])
+            z_rows = np.concatenate([z_a, z_s])
+            iso_rows = np.concatenate([iso_a, iso_s])
+            order = np.argsort(si_rows, kind="stable")
+            si_rows, z_rows, iso_rows = (
+                si_rows[order], z_rows[order], iso_rows[order],
+            )
+            pm = (mz[si_rows] * z_rows.astype(np.float32)).astype(np.float32)
+            qm = pm - (iso_rows.astype(np.float32) * F32(NEUTRON))
+            lo_all, hi_all = p.precursor_tol.bounds(qm)
+
+        i0 = np.searchsorted(mono, lo_all, side="left").astype(np.int32)
+        i1 = np.searchsorted(mono, hi_all, side="right").astype(np.int32)
+        return {
+            "si": si_rows.astype(np.int32),
+            "z": z_rows.astype(np.int32),
+            "iso": iso_rows.astype(np.int32),
+            "i0": i0,
+            "i1": i1,
+        }
 
     def _pad_peaks(self, spectra: Sequence[ProcessedSpectrum]):
         Pk = max(max((len(s) for s in spectra), default=1), 1)
@@ -557,12 +618,12 @@ class Scorer:
             Pk = masses.shape[1]
         if masses_dev is None:
             masses_dev = jnp.asarray(masses)
-        n_rows = len(rows)
+        n_rows = rows["si"].size
         n_spec = len(spectra)
 
-        max_win = max((i1 - i0 for _, _, _, i0, i1 in rows), default=1)
+        max_win = int((rows["i1"] - rows["i0"]).max()) if n_rows else 1
         W = min(next_power_of_two(max(max_win, 8)), self.tables.P_pad)
-        R = next_power_of_two(max(n_rows, 8))
+        R = _pad_count(n_rows)
 
         spec_idx = np.zeros(R, dtype=np.int32)
         row_z = np.zeros(R, dtype=np.int32)
@@ -571,20 +632,21 @@ class Scorer:
         i0a = np.zeros(R, dtype=np.int32)
         i1a = np.zeros(R, dtype=np.int32)
         maxz = np.full(R, 2, dtype=np.int32)
-        for r, (si, z, iso, i0, i1) in enumerate(rows):
-            spec_idx[r] = si
-            row_z[r] = z
-            row_iso[r] = iso
-            p0[r] = min(i0, self.tables.P_pad - W)
-            i0a[r] = i0
-            i1a[r] = i1
-            maxz[r] = max_fragment_charge(p.max_fragment_charge, z)
-        # Padding rows target an empty window so they contribute nothing.
-        if R > n_rows:
-            i0a[n_rows:] = 0
-            i1a[n_rows:] = 0
+        spec_idx[:n_rows] = rows["si"]
+        row_z[:n_rows] = rows["z"]
+        row_iso[:n_rows] = rows["iso"]
+        p0[:n_rows] = np.minimum(rows["i0"], self.tables.P_pad - W)
+        i0a[:n_rows] = rows["i0"]
+        i1a[:n_rows] = rows["i1"]
+        cfg = p.max_fragment_charge
+        cap = np.minimum(rows["z"], cfg + 1) if cfg is not None else rows["z"]
+        maxz[:n_rows] = np.maximum(cap, 2)
+        # Padding rows target an empty window so they contribute nothing
+        # (i0a/i1a stay 0 past n_rows).
 
-        fn = self._stage1(W, Pk, R)
+        # Only compile/compute the charge planes this batch can reach.
+        Zb = min(max(int(maxz[:n_rows].max()) - 1, 1), self.Z) if n_rows else 1
+        fn = self._stage1(W, Pk, R, Zb)
         vals, pep, mtot, scored = jax.device_get(
             fn(
                 masses_dev, jnp.asarray(spec_idx), jnp.asarray(p0),
@@ -650,7 +712,7 @@ class Scorer:
             t.spec_ids = spec_ids
             return t
 
-        N = next_power_of_two(max(nI, 8))
+        N = _pad_count(nI)
         spec_idx = np.zeros(N, dtype=np.int32)
         pep_idx = np.zeros(N, dtype=np.int32)
         maxz = np.full(N, 2, dtype=np.int32)
@@ -662,6 +724,7 @@ class Scorer:
             else chg
         )
         maxz[:nI] = np.minimum(np.maximum(cap, 2), self.Z + 1)
+        Zb = min(max(int(maxz[:nI].max()) - 1, 1), self.Z)
 
         if removed_masks is None:
             use_int = intens
@@ -671,7 +734,7 @@ class Scorer:
             use_int_dev = jnp.asarray(use_int)
         if masses_dev is None:
             masses_dev = jnp.asarray(masses)
-        fn = self._stage2_compact(Pk, N)
+        fn = self._stage2_compact(Pk, N, Zb)
         mb, my, sb, sy, ppm_sum, lb, ly = jax.device_get(
             fn(
                 masses_dev, use_int_dev, jnp.asarray(spec_idx),
