@@ -169,11 +169,13 @@ def series_valid_mask(lens, L, series, min_ion_index):
 def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
     """Per-candidate matched-peak counts via the rank-difference trick.
 
-    f: [S, W, L] neutral fragment ladders; fvalid: [S, W, L] bool;
-    peaks: [Pk] neutral peak masses padded with +inf; maxz: scalar i32
-    exclusive fragment-charge bound. Counts every in-window
-    (peak × charge × fragment) pair, exactly the reference's preliminary
-    matched count (scoring.rs:335-382). Returns i32 [W]."""
+    f: [S, W, L] neutral fragment ladders; fvalid: [S, W, L] bool, or None
+    when invalid slots of ``f`` already hold -inf (which falls in no window:
+    ppm/pct bounds of -inf are NaN/-inf, da bounds -inf — every peak fails
+    ``>= lo`` or ``<= hi``); peaks: [Pk] neutral peak masses padded with
+    +inf; maxz: scalar i32 exclusive fragment-charge bound. Counts every
+    in-window (peak × charge × fragment) pair, exactly the reference's
+    preliminary matched count (scoring.rs:335-382). Returns i32 [W]."""
     W = f.shape[1]
     counts = jnp.zeros((W,), dtype=jnp.int32)
     for zi in range(Z):
@@ -188,16 +190,32 @@ def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
         hi_q = jnp.where(z_ok, hi_q, jnp.float32(np.inf))
         a = jnp.sum((f[..., None] >= lo_q[None, None, None, :]), axis=-1, dtype=jnp.int32)
         b = jnp.sum((f[..., None] > hi_q[None, None, None, :]), axis=-1, dtype=jnp.int32)
-        cnt = jnp.where(fvalid, a - b, 0)  # [S, W, L]
+        cnt = a - b if fvalid is None else jnp.where(fvalid, a - b, 0)
         counts = counts + jnp.sum(cnt, axis=(0, 2))
     return counts
 
 
 class _DeviceTables:
     """HBM-resident peptide table, padded to a power-of-two row count so any
-    precursor-window slice of width W <= P_pad stays in bounds."""
+    precursor-window slice of width W <= P_pad stays in bounds.
 
-    def __init__(self, db: IndexedDatabase):
+    When the footprint allows (default cap 4 GiB, override with
+    SAGE_TPU_PRECOMP_LADDERS=0/1), two precomputed fragment-ladder tables
+    are also kept in HBM so the hot loops slice instead of re-scanning:
+
+    * ``lad_index`` [P_pad, S, L]: ladders with the index's min_ion_index
+      filter applied (database.rs:281-291); filtered/invalid slots hold
+      -inf so they can never fall inside a query window. Stage 1 reads it.
+    * ``lad_full``  [P_pad, S, L]: complete ladders (only the ion < len-1
+      validity applied) for the full rescore, which ignores min_ion_index
+      (scoring.rs:675-767). Stage 2 reads it.
+
+    Values are produced by the same ``ion_ladders`` scan as the on-the-fly
+    path, so both paths are bit-identical."""
+
+    def __init__(self, db: IndexedDatabase, series, min_ion_index):
+        import os
+
         t = db.table
         P = len(t)
         self.P_real = P
@@ -214,6 +232,34 @@ class _DeviceTables:
         self.lens = jnp.asarray(np.pad(t.lens, (0, pad)), dtype=jnp.int32)
         self.L = L
 
+        S = len(series)
+        footprint = 2 * self.P_pad * S * L * 4
+        env = os.environ.get("SAGE_TPU_PRECOMP_LADDERS")
+        precomp = (
+            env != "0" if env is not None else footprint <= (4 << 30)
+        )
+        self.lad_index = None
+        self.lad_full = None
+        if precomp:
+            neg_inf = jnp.float32(-np.inf)
+
+            @jax.jit
+            def build():
+                lad = ion_ladders(self.resmass, self.nterm, self.mono, series)
+                idx_valid = series_valid_mask(self.lens, L, series, min_ion_index)
+                ion_idx = jnp.arange(L, dtype=jnp.int32)
+                n_ions = jnp.maximum(self.lens - 1, 0)[:, None]
+                full_valid = ion_idx[None, :] < n_ions  # [P, L]
+                lad_index = jnp.where(idx_valid, lad, neg_inf)
+                lad_full = jnp.where(full_valid[None], lad, neg_inf)
+                # [S, P, L] -> [P, S, L] so per-candidate slices are contiguous
+                return (
+                    jnp.transpose(lad_index, (1, 0, 2)),
+                    jnp.transpose(lad_full, (1, 0, 2)),
+                )
+
+            self.lad_index, self.lad_full = build()
+
 
 class Scorer:
     """Score ProcessedSpectrum batches against an IndexedDatabase."""
@@ -221,10 +267,10 @@ class Scorer:
     def __init__(self, db: IndexedDatabase, params: SearchParams):
         self.db = db
         self.params = params
-        self.tables = _DeviceTables(db)
         self.series = tuple(db.ion_kinds)
         self.n_series = len(self.series)
         self.min_ion_index = db.min_ion_index
+        self.tables = _DeviceTables(db, self.series, self.min_ion_index)
         # Global fragment-charge axis: 1..Zmax where Zmax is the largest
         # exclusive bound any precursor charge can produce.
         zmax = max(
@@ -253,40 +299,53 @@ class Scorer:
         K = self.K
         frag_tol = self.params.fragment_tol
         n_series = self.n_series
+        # When the whole precursor window fits in the K-select budget there
+        # is nothing to select: return the raw counts (a 6x smaller
+        # transfer than (vals, pep) at K=50) and let the host derive the
+        # candidate indices. This is the common narrow-search shape.
+        counts_only = W <= K
 
-        def per_row(peaks, p0, i0, i1, maxz):
+        def row_counts(peaks, p0, i0, i1, maxz):
             # peaks: [Pk] padded with +inf
-            res = jax.lax.dynamic_slice(tables.resmass, (p0, 0), (W, L))
-            ntm = jax.lax.dynamic_slice(tables.nterm, (p0,), (W,))
-            mono_c = jax.lax.dynamic_slice(tables.mono, (p0,), (W,))
-            lens_c = jax.lax.dynamic_slice(tables.lens, (p0,), (W,))
+            if tables.lad_index is not None:
+                f = jax.lax.dynamic_slice(
+                    tables.lad_index, (p0, 0, 0), (W, n_series, L)
+                )  # [W, S, L]
+                f = jnp.transpose(f, (1, 0, 2))  # [S, W, L]
+                fvalid = None
+            else:
+                res = jax.lax.dynamic_slice(tables.resmass, (p0, 0), (W, L))
+                ntm = jax.lax.dynamic_slice(tables.nterm, (p0,), (W,))
+                mono_c = jax.lax.dynamic_slice(tables.mono, (p0,), (W,))
+                lens_c = jax.lax.dynamic_slice(tables.lens, (p0,), (W,))
+                f = self._ladders(res, ntm, mono_c, L)  # [S, W, L]
+                fvalid = self._series_valid_mask(lens_c, L)  # [S, W, L]
             gidx = p0 + jnp.arange(W, dtype=jnp.int32)
             cand_valid = (gidx >= i0) & (gidx < i1)
-
-            f = self._ladders(res, ntm, mono_c, L)  # [S, W, L]
-            fvalid = self._series_valid_mask(lens_c, L)  # [S, W, L]
 
             counts = count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z)
             counts = jnp.where(cand_valid, counts, 0)
             matched_total = jnp.sum(counts)
             scored = jnp.sum((counts > 0).astype(jnp.int32))
+            return counts, matched_total, scored
+
+        def per_row(peaks, p0, i0, i1, maxz):
+            counts, matched_total, scored = row_counts(peaks, p0, i0, i1, maxz)
+            if counts_only:
+                return counts, matched_total, scored
             # Top-K by (count, peptide index) descending: reversing the
             # candidate axis makes top_k's lowest-index tie rule pick the
             # highest peptide index first (PreScore Ord, scoring.rs:43-49).
             rev = counts[::-1]
-            k = min(K, W)
-            vals, ridx = jax.lax.top_k(rev, k)
+            vals, ridx = jax.lax.top_k(rev, K)
             pep = p0 + (W - 1 - ridx)
-            if k < K:  # pad to the static K width
-                vals = jnp.pad(vals, (0, K - k))
-                pep = jnp.pad(pep, (0, K - k))
             return vals, pep, matched_total, scored
 
         def run(peaks_all, spec_idx, p0, i0, i1, maxz):
             pk = peaks_all[spec_idx]  # [R, Pk]
             return jax.vmap(per_row)(pk, p0, i0, i1, maxz)
 
-        return jax.jit(run)
+        return jax.jit(run), counts_only
 
     def _build_stage2_compact(self, Pk: int, N: int, Z: Optional[int] = None):
         """Full-rescore stage returning compact per-item features — the
@@ -306,43 +365,52 @@ class Scorer:
         is_nterm = np.array([_SERIES_NTERM[k] for k in series], dtype=bool)
 
         def per_item(pkm, pki, pep, maxz):
-            res = tables.resmass[pep]  # [L]
-            ntm = tables.nterm[pep]
-            mono_c = tables.mono[pep]
-            lens_c = tables.lens[pep]
-
-            f = ion_ladders(res[None, :], ntm[None], mono_c[None], series)[:, 0, :]
             ion_idx = jnp.arange(L, dtype=jnp.int32)
-            n_ions = jnp.maximum(lens_c - 1, 0)
-            fvalid = jnp.broadcast_to(ion_idx[None, :] < n_ions, (n_series, L))
+            if tables.lad_full is not None:
+                f = tables.lad_full[pep]  # [S, L]; invalid slots are -inf
+                fvalid = None
+            else:
+                res = tables.resmass[pep]  # [L]
+                ntm = tables.nterm[pep]
+                mono_c = tables.mono[pep]
+                lens_c = tables.lens[pep]
+                f = ion_ladders(res[None, :], ntm[None], mono_c[None], series)[:, 0, :]
+                n_ions = jnp.maximum(lens_c - 1, 0)
+                fvalid = jnp.broadcast_to(ion_idx[None, :] < n_ions, (n_series, L))
 
-            midx = []
-            mzs = []
+            matched_l, pkm_l, pki_l, mzs = [], [], [], []
             for zi in range(Z):
                 z = jnp.float32(zi + 1)
                 mzc = f / z  # [S, L]
                 lo, hi = _tol_bounds_jnp(frag_tol, mzc)
                 z_ok = (zi + 1) < maxz
-                ok = fvalid & z_ok
                 inwin = (pkm[None, None, :] >= lo[..., None]) & (
                     pkm[None, None, :] <= hi[..., None]
                 )  # [S, L, Pk]
-                qual = inwin & (pki[None, None, :] >= 0) & ok[..., None]
+                qual = inwin & (pki[None, None, :] >= 0) & z_ok
+                if fvalid is not None:
+                    qual = qual & fvalid[..., None]
                 val = jnp.where(qual, pki[None, None, :], jnp.float32(-1.0))
-                # most intense, ties to the LATER index (spectrum.rs:150-157)
-                rev = val[..., ::-1]
-                ridx = jnp.argmax(rev, axis=-1)
-                best = jnp.take_along_axis(rev, ridx[..., None], axis=-1)[..., 0]
-                idx = (Pk - 1) - ridx
-                midx.append(jnp.where(best >= 0, idx, -1).astype(jnp.int32))
+                # Most intense in-window peak: a plain lane max gives the
+                # intensity; the matched peak's mass is the max mass among
+                # peaks attaining it — masses ascend with index, so this
+                # reproduces the ties-to-the-LATER-index rule
+                # (spectrum.rs:150-157) without argmax/gather.
+                best = jnp.max(val, axis=-1)  # [S, L]
+                bmass = jnp.max(
+                    jnp.where(val == best[..., None], pkm[None, None, :],
+                              jnp.float32(-np.inf)),
+                    axis=-1,
+                )
+                m = best >= 0
+                matched_l.append(m)
+                pki_l.append(jnp.where(m, best, jnp.float32(0.0)))
+                pkm_l.append(jnp.where(m, bmass, jnp.float32(0.0)))
                 mzs.append(mzc)
-            midx = jnp.stack(midx, axis=-1)  # [S, L, Z]
+            matched = jnp.stack(matched_l, axis=-1)  # [S, L, Z]
+            pk_i = jnp.stack(pki_l, axis=-1)
+            pk_m = jnp.stack(pkm_l, axis=-1)
             mz_c = jnp.stack(mzs, axis=-1)  # [S, L, Z]
-
-            matched = midx >= 0
-            safe = jnp.clip(midx, 0, Pk - 1)
-            pk_m = jnp.where(matched, pkm[safe], jnp.float32(0.0))
-            pk_i = jnp.where(matched, pki[safe], jnp.float32(0.0))
 
             # Per-fragment ppm term, f32 in the reference op order
             # (scoring.rs:719-720).
@@ -646,15 +714,23 @@ class Scorer:
 
         # Only compile/compute the charge planes this batch can reach.
         Zb = min(max(int(maxz[:n_rows].max()) - 1, 1), self.Z) if n_rows else 1
-        fn = self._stage1(W, Pk, R, Zb)
-        vals, pep, mtot, scored = jax.device_get(
+        fn, counts_only = self._stage1(W, Pk, R, Zb)
+        out = jax.device_get(
             fn(
                 masses_dev, jnp.asarray(spec_idx), jnp.asarray(p0),
                 jnp.asarray(i0a), jnp.asarray(i1a), jnp.asarray(maxz),
             )
         )
-        vals = vals[:n_rows]
-        pep = pep[:n_rows]
+        if counts_only:
+            counts, mtot, scored = out
+            # Reconstruct the (vals, pep) layout of the top-k path: the
+            # whole window in reversed candidate order (peptide desc).
+            vals = counts[:n_rows, ::-1]
+            pep = p0[:n_rows, None] + (W - 1 - np.arange(W, dtype=np.int32))
+        else:
+            vals, pep, mtot, scored = out
+            vals = vals[:n_rows]
+            pep = pep[:n_rows]
 
         # Per-spectrum Poisson stats (sum over this spectrum's rows).
         spec_matched = np.bincount(
@@ -666,11 +742,12 @@ class Scorer:
 
         # Flatten (row, k) candidates, drop zero-matched, rank per spectrum.
         K = self.K
+        k_row = vals.shape[1]
         m = vals.ravel()
-        pp = pep.ravel()
-        ss = np.repeat(spec_idx[:n_rows], K)
-        zz = np.repeat(row_z[:n_rows], K)
-        ii = np.repeat(row_iso[:n_rows], K)
+        pp = np.broadcast_to(pep, (n_rows, k_row)).ravel()
+        ss = np.repeat(spec_idx[:n_rows], k_row)
+        zz = np.repeat(row_z[:n_rows], k_row)
+        ii = np.repeat(row_iso[:n_rows], k_row)
         keep = m > 0
         m, pp, ss, zz, ii = m[keep], pp[keep], ss[keep], zz[keep], ii[keep]
         order = np.lexsort((-ii, -zz, -pp, -m, ss))
