@@ -33,8 +33,8 @@ from sage_tpu.ops.search import Scorer, SearchParams  # noqa: E402
 from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum  # noqa: E402
 
 N_PROTEINS = int(os.environ.get("BENCH_PROTEINS", "200"))
-N_SPECTRA = int(os.environ.get("BENCH_SPECTRA", "16384"))
-BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
+N_SPECTRA = int(os.environ.get("BENCH_SPECTRA", "32768"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 BASELINE_SPECTRA_PER_S = 10_000.0
 
 AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
@@ -106,10 +106,10 @@ def main():
     warm = scorer.score_table(spectra[:BATCH])
     assert len(warm), "warmup produced no PSMs"
 
+    batches = [spectra[i : i + BATCH] for i in range(0, len(spectra), BATCH)]
     t1 = time.perf_counter()
     n_psms = 0
-    for i in range(0, len(spectra), BATCH):
-        feats = scorer.score_table(spectra[i : i + BATCH])
+    for feats in scorer.score_stream(batches):
         n_psms += len(feats)
     dt = time.perf_counter() - t1
     sps = len(spectra) / dt

@@ -673,7 +673,71 @@ class Scorer:
             masses_dev=masses_dev, intens_dev=intens_dev,
         )
 
+    def score_stream(self, batches) -> "List[FeatureTable]":
+        """Pipelined scoring over an iterable of spectrum batches.
+
+        JAX dispatch is asynchronous, so the only blocking points are the
+        two device_get fetches per batch. This keeps up to two batches in
+        flight: while the host waits on batch i's stage-1 counts, the
+        device is already executing batch i+1's stage 1 (and batch i-1's
+        stage 2), hiding transfer latency behind compute — the TPU
+        equivalent of the reference's rayon pipeline over spectra
+        (runner.rs:311-324). Yields one FeatureTable per input batch, in
+        order."""
+        if self.params.chimera:
+            for batch in batches:
+                yield self.score_table(batch)
+            return
+        from collections import deque
+
+        pend = deque()
+
+        def admit(batch):
+            masses, intens, Pk = self._pad_peaks(batch)
+            masses_dev = jnp.asarray(masses)
+            intens_dev = jnp.asarray(intens)
+            d1 = self._prelim_dispatch(batch, masses=masses, masses_dev=masses_dev)
+            return {
+                "batch": batch, "masses": masses, "intens": intens, "Pk": Pk,
+                "masses_dev": masses_dev, "intens_dev": intens_dev,
+                "d1": d1, "prelim": None, "d2": None,
+            }
+
+        def advance(e):
+            # stage-1 fetch + host merge + stage-2 dispatch
+            e["prelim"] = self._prelim_finalize(e["d1"])
+            e["d2"] = self._stage2_dispatch(
+                e["prelim"], e["intens"], e["Pk"],
+                masses_dev=e["masses_dev"], intens_dev=e["intens_dev"],
+            )
+
+        def finish(e):
+            return self._stage2_finalize(
+                e["batch"], e["prelim"], e["d2"], self.params.report_psms,
+                None, e["masses"], e["Pk"],
+            )
+
+        for batch in batches:
+            if not batch:
+                yield FeatureTable.empty()
+                continue
+            pend.append(admit(batch))
+            if len(pend) >= 2:
+                advance(pend[-2])  # always the one admitted last iteration
+            if len(pend) >= 3:
+                yield finish(pend.popleft())
+        for e in pend:
+            if e["d2"] is None:
+                advance(e)
+        while pend:
+            yield finish(pend.popleft())
+
     def _preliminary(self, spectra, masses=None, masses_dev=None):
+        return self._prelim_finalize(
+            self._prelim_dispatch(spectra, masses=masses, masses_dev=masses_dev)
+        )
+
+    def _prelim_dispatch(self, spectra, masses=None, masses_dev=None):
         """Stage 1 + vectorized merge: per spectrum, the top-K preliminary
         candidates with the PreScore ordering (matched, peptide, charge,
         isotope — scoring.rs:43-49) plus Poisson statistics. Returns flat
@@ -715,12 +779,22 @@ class Scorer:
         # Only compile/compute the charge planes this batch can reach.
         Zb = min(max(int(maxz[:n_rows].max()) - 1, 1), self.Z) if n_rows else 1
         fn, counts_only = self._stage1(W, Pk, R, Zb)
-        out = jax.device_get(
-            fn(
-                masses_dev, jnp.asarray(spec_idx), jnp.asarray(p0),
-                jnp.asarray(i0a), jnp.asarray(i1a), jnp.asarray(maxz),
-            )
+        out_dev = fn(
+            masses_dev, jnp.asarray(spec_idx), jnp.asarray(p0),
+            jnp.asarray(i0a), jnp.asarray(i1a), jnp.asarray(maxz),
         )
+        return {
+            "out_dev": out_dev, "counts_only": counts_only,
+            "n_rows": n_rows, "n_spec": n_spec, "W": W,
+            "p0": p0, "spec_idx": spec_idx, "row_z": row_z, "row_iso": row_iso,
+        }
+
+    def _prelim_finalize(self, d):
+        out = jax.device_get(d["out_dev"])
+        counts_only = d["counts_only"]
+        n_rows, n_spec, W = d["n_rows"], d["n_spec"], d["W"]
+        p0, spec_idx = d["p0"], d["spec_idx"]
+        row_z, row_iso = d["row_z"], d["row_iso"]
         if counts_only:
             counts, mtot, scored = out
             # Reconstruct the (vals, pep) layout of the top-k path: the
@@ -777,17 +851,27 @@ class Scorer:
         """Stage 2 + vectorized host feature assembly (scoring.rs:478-595,
         675-767). The full rescore runs on device (compact per-item
         outputs); the host assembles whole columns — no per-PSM Python."""
+        if masses_dev is None:
+            masses_dev = jnp.asarray(masses)
+        d2 = self._stage2_dispatch(
+            prelim, intens, Pk, removed_masks=removed_masks,
+            masses_dev=masses_dev, intens_dev=intens_dev,
+        )
+        return self._stage2_finalize(
+            spectra, prelim, d2, report_psms, tic_override, masses, Pk
+        )
+
+    def _stage2_dispatch(
+        self, prelim, intens, Pk, removed_masks=None,
+        masses_dev=None, intens_dev=None,
+    ):
         p = self.params
         spec_i = prelim["cand_spec"]
         pep_i = prelim["cand_pep"]
         chg = prelim["cand_charge"]
-        iso = prelim["cand_iso"]
         nI = spec_i.shape[0]
-        spec_ids = [s.id for s in spectra]
         if nI == 0:
-            t = FeatureTable.empty()
-            t.spec_ids = spec_ids
-            return t
+            return {"out_dev": None, "nI": 0, "use_int": intens}
 
         N = _pad_count(nI)
         spec_idx = np.zeros(N, dtype=np.int32)
@@ -809,15 +893,29 @@ class Scorer:
         else:
             use_int = np.where(removed_masks, -1.0, intens).astype(np.float32)
             use_int_dev = jnp.asarray(use_int)
-        if masses_dev is None:
-            masses_dev = jnp.asarray(masses)
         fn = self._stage2_compact(Pk, N, Zb)
-        mb, my, sb, sy, ppm_sum, lb, ly = jax.device_get(
-            fn(
-                masses_dev, use_int_dev, jnp.asarray(spec_idx),
-                jnp.asarray(pep_idx), jnp.asarray(maxz),
-            )
+        out_dev = fn(
+            masses_dev, use_int_dev, jnp.asarray(spec_idx),
+            jnp.asarray(pep_idx), jnp.asarray(maxz),
         )
+        return {"out_dev": out_dev, "nI": nI, "use_int": use_int}
+
+    def _stage2_finalize(
+        self, spectra, prelim, d2, report_psms, tic_override, masses, Pk
+    ) -> FeatureTable:
+        p = self.params
+        spec_i = prelim["cand_spec"]
+        pep_i = prelim["cand_pep"]
+        chg = prelim["cand_charge"]
+        iso = prelim["cand_iso"]
+        nI = d2["nI"]
+        use_int = d2["use_int"]
+        spec_ids = [s.id for s in spectra]
+        if nI == 0:
+            t = FeatureTable.empty()
+            t.spec_ids = spec_ids
+            return t
+        mb, my, sb, sy, ppm_sum, lb, ly = jax.device_get(d2["out_dev"])
         mb, my = mb[:nI], my[:nI]
         sb, sy, ppm_sum = sb[:nI], sy[:nI], ppm_sum[:nI]
         lb, ly = lb[:nI], ly[:nI]

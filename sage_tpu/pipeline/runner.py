@@ -127,9 +127,8 @@ class Runner:
             s for s in spectra if s.level == 2 and len(s) >= p.min_peaks
         ]
         t0 = time.monotonic()
-        tables = []
-        for i in range(0, len(ms2), SCORE_BATCH):
-            tables.append(scorer.score_table(ms2[i : i + SCORE_BATCH]))
+        batches = [ms2[i : i + SCORE_BATCH] for i in range(0, len(ms2), SCORE_BATCH)]
+        tables = list(scorer.score_stream(batches))
         features = FeatureTable.concat(tables) if tables else FeatureTable.empty()
         dt = time.monotonic() - t0
         log.info(

@@ -110,3 +110,25 @@ def test_report_multiple_psms(golden_setup):
     # delta_next chain: f[i].delta_next == f[i].hyperscore - f[i+1].hyperscore
     for a, b in zip(features, features[1:]):
         assert abs(a.delta_next - (a.hyperscore - b.hyperscore)) < 1e-9
+
+
+def test_score_stream_matches_score_table(golden_setup):
+    """The pipelined score_stream path must produce byte-identical feature
+    columns to per-batch score_table calls (ops/search.py score_stream)."""
+    db, params, spectra = golden_setup
+    scorer = Scorer(db, params)
+    # Three batches (two copies of the golden spectrum each) exercise the
+    # two-deep pipeline including the flush path.
+    batches = [spectra * 2, spectra, spectra * 3]
+    streamed = list(scorer.score_stream(batches))
+    assert len(streamed) == len(batches)
+    scorer2 = Scorer(db, params)
+    for batch, st in zip(batches, streamed):
+        tt = scorer2.score_table(batch)
+        assert len(st) == len(tt) == len(batch)
+        for k in tt.columns:
+            if k == "psm_id":
+                continue  # ids depend on global dispatch order
+            np.testing.assert_array_equal(
+                st.columns[k], tt.columns[k], err_msg=f"column {k}"
+            )
