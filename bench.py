@@ -102,11 +102,14 @@ def main():
     scorer = Scorer(db, search)
     spectra = synth_spectra(db, N_SPECTRA)
 
-    # Warmup (compile) on one batch
-    warm = scorer.score_table(spectra[:BATCH])
-    assert len(warm), "warmup produced no PSMs"
-
+    # Warmup: one full streaming pass compiles every (W, Pk, R, N) shape
+    # the timed pass will hit (shape-bucketed executables are cached).
     batches = [spectra[i : i + BATCH] for i in range(0, len(spectra), BATCH)]
+    n_warm = 0
+    for feats in scorer.score_stream(batches):
+        n_warm += len(feats)
+    assert n_warm, "warmup produced no PSMs"
+
     t1 = time.perf_counter()
     n_psms = 0
     for feats in scorer.score_stream(batches):

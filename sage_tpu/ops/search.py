@@ -240,6 +240,8 @@ class _DeviceTables:
         )
         self.lad_index = None
         self.lad_full = None
+        self.lad2d_index = None
+        self.SLp = 0
         if precomp:
             neg_inf = jnp.float32(-np.inf)
 
@@ -259,6 +261,15 @@ class _DeviceTables:
                 )
 
             self.lad_index, self.lad_full = build()
+            # Flat 2D view for the Pallas stage-1 kernel: [P_pad, SLp]
+            # (lanes padded to 128) with -inf in all padding.
+            SL = S * L
+            self.SLp = ((SL + 127) // 128) * 128
+            lad2d = self.lad_index.reshape(self.P_pad, SL)
+            self.lad2d_index = jnp.pad(
+                lad2d, ((0, 0), (0, self.SLp - SL)),
+                constant_values=-np.inf,
+            )
 
 
 class Scorer:
@@ -341,9 +352,22 @@ class Scorer:
             pep = p0 + (W - 1 - ridx)
             return vals, pep, matched_total, scored
 
-        def run(peaks_all, spec_idx, p0, i0, i1, maxz):
-            pk = peaks_all[spec_idx]  # [R, Pk]
-            return jax.vmap(per_row)(pk, p0, i0, i1, maxz)
+        def run(peaks_all, ints):
+            # ints: [5, R] i32 (spec_idx, p0, i0, i1, maxz) — one upload.
+            spec_idx, p0, i0, i1, maxz = (ints[j] for j in range(5))
+            pk = peaks_all[0][spec_idx]  # [R, Pk]
+            out = jax.vmap(per_row)(pk, p0, i0, i1, maxz)
+            # Pack into ONE i32 array so the host pays a single fetch
+            # round-trip on tunneled links.
+            if counts_only:
+                counts, mtot, scored = out
+                return jnp.concatenate(
+                    [counts, mtot[:, None], scored[:, None]], axis=1
+                )
+            vals, pep, mtot, scored = out
+            return jnp.concatenate(
+                [vals, pep, mtot[:, None], scored[:, None]], axis=1
+            )
 
         return jax.jit(run), counts_only
 
@@ -474,10 +498,23 @@ class Scorer:
 
             return mb, my, sums[0], sums[1], sums[2], lb, ly
 
-        def run(peaks_all, inten_all, spec_idx, pep, maxz):
-            pkm = peaks_all[spec_idx]
-            pki = inten_all[spec_idx]
-            return jax.vmap(per_item)(pkm, pki, pep, maxz)
+        def run(peaks_dev, ints):
+            # peaks_dev: [2, S, Pk] (masses, intensities); ints: [3, N] i32
+            # (spec_idx, pep, maxz). Outputs pack into ONE f32 [N, 7] array
+            # (integer columns are small counts, exact in f32) so the host
+            # pays a single fetch round-trip.
+            spec_idx, pep, maxz = ints[0], ints[1], ints[2]
+            pkm = peaks_dev[0][spec_idx]
+            pki = peaks_dev[1][spec_idx]
+            mb, my, sb, sy, pp, lb, ly = jax.vmap(per_item)(pkm, pki, pep, maxz)
+            return jnp.stack(
+                [
+                    mb.astype(jnp.float32), my.astype(jnp.float32),
+                    sb, sy, pp,
+                    lb.astype(jnp.float32), ly.astype(jnp.float32),
+                ],
+                axis=1,
+            )
 
         return jax.jit(run)
 
@@ -527,10 +564,41 @@ class Scorer:
 
         return jax.jit(run)
 
+    def _use_pallas(self, counts_only: bool) -> bool:
+        import os
+
+        if not counts_only or self.tables.lad2d_index is None:
+            return False
+        env = os.environ.get("SAGE_TPU_PALLAS")
+        if env is not None:
+            return env != "0"
+        return jax.default_backend() != "cpu"
+
+    def _build_stage1_pallas(self, W: int, Pk: int, R: int, Z: int):
+        from .pallas_stage1 import stage1_counts_pallas
+
+        tables = self.tables
+        tol = self.params.fragment_tol
+        tol_s = (tol.kind, float(tol.lo), float(tol.hi))
+        lad2d = tables.lad2d_index
+        SLp = tables.SLp
+
+        def run(peaks_dev, ints):
+            return stage1_counts_pallas(
+                lad2d, peaks_dev, ints[0], ints[1], ints[2], ints[3], ints[4],
+                W=W, SLp=SLp, Pk=Pk, Z=Z, R=R, tol=tol_s,
+            )
+
+        return run, True
+
     def _stage1(self, W, Pk, R, Z):
         key = (W, Pk, R, Z)
         if key not in self._stage1_cache:
-            self._stage1_cache[key] = self._build_stage1(W, Pk, R, Z)
+            counts_only = W <= self.K
+            if self._use_pallas(counts_only):
+                self._stage1_cache[key] = self._build_stage1_pallas(W, Pk, R, Z)
+            else:
+                self._stage1_cache[key] = self._build_stage1(W, Pk, R, Z)
         return self._stage1_cache[key]
 
     def _stage2(self, Pk, N):
@@ -663,14 +731,14 @@ class Scorer:
         if self.params.chimera:
             return self._score_chimera(spectra)
         masses, intens, Pk = self._pad_peaks(spectra)
-        # Upload the padded peak arrays once; both stages reuse them
-        # (uploads dominate on tunneled links).
-        masses_dev = jnp.asarray(masses)
-        intens_dev = jnp.asarray(intens)
-        prelim = self._preliminary(spectra, masses=masses, masses_dev=masses_dev)
+        # Upload the padded peak arrays once, packed as [2, S, Pk]; both
+        # stages reuse the single upload (uploads dominate on tunneled
+        # links).
+        peaks_dev = jnp.asarray(np.stack([masses, intens]))
+        prelim = self._preliminary(spectra, masses=masses, peaks_dev=peaks_dev)
         return self._features_table(
             spectra, prelim, masses, intens, Pk, self.params.report_psms,
-            masses_dev=masses_dev, intens_dev=intens_dev,
+            peaks_dev=peaks_dev,
         )
 
     def score_stream(self, batches) -> "List[FeatureTable]":
@@ -694,12 +762,11 @@ class Scorer:
 
         def admit(batch):
             masses, intens, Pk = self._pad_peaks(batch)
-            masses_dev = jnp.asarray(masses)
-            intens_dev = jnp.asarray(intens)
-            d1 = self._prelim_dispatch(batch, masses=masses, masses_dev=masses_dev)
+            peaks_dev = jnp.asarray(np.stack([masses, intens]))
+            d1 = self._prelim_dispatch(batch, masses=masses, peaks_dev=peaks_dev)
             return {
                 "batch": batch, "masses": masses, "intens": intens, "Pk": Pk,
-                "masses_dev": masses_dev, "intens_dev": intens_dev,
+                "peaks_dev": peaks_dev,
                 "d1": d1, "prelim": None, "d2": None,
             }
 
@@ -707,8 +774,7 @@ class Scorer:
             # stage-1 fetch + host merge + stage-2 dispatch
             e["prelim"] = self._prelim_finalize(e["d1"])
             e["d2"] = self._stage2_dispatch(
-                e["prelim"], e["intens"], e["Pk"],
-                masses_dev=e["masses_dev"], intens_dev=e["intens_dev"],
+                e["prelim"], e["intens"], e["Pk"], peaks_dev=e["peaks_dev"],
             )
 
         def finish(e):
@@ -732,12 +798,12 @@ class Scorer:
         while pend:
             yield finish(pend.popleft())
 
-    def _preliminary(self, spectra, masses=None, masses_dev=None):
+    def _preliminary(self, spectra, masses=None, peaks_dev=None):
         return self._prelim_finalize(
-            self._prelim_dispatch(spectra, masses=masses, masses_dev=masses_dev)
+            self._prelim_dispatch(spectra, masses=masses, peaks_dev=peaks_dev)
         )
 
-    def _prelim_dispatch(self, spectra, masses=None, masses_dev=None):
+    def _prelim_dispatch(self, spectra, masses=None, peaks_dev=None):
         """Stage 1 + vectorized merge: per spectrum, the top-K preliminary
         candidates with the PreScore ordering (matched, peptide, charge,
         isotope — scoring.rs:43-49) plus Poisson statistics. Returns flat
@@ -745,11 +811,15 @@ class Scorer:
         p = self.params
         rows = self._expand_rows(spectra)
         if masses is None:
-            masses, _, Pk = self._pad_peaks(spectra)
+            masses, intens, Pk = self._pad_peaks(spectra)
+            if peaks_dev is None:
+                peaks_dev = jnp.asarray(np.stack([masses, intens]))
         else:
             Pk = masses.shape[1]
-        if masses_dev is None:
-            masses_dev = jnp.asarray(masses)
+            if peaks_dev is None:
+                peaks_dev = jnp.asarray(
+                    np.stack([masses, np.zeros_like(masses)])
+                )
         n_rows = rows["si"].size
         n_spec = len(spectra)
 
@@ -779,10 +849,11 @@ class Scorer:
         # Only compile/compute the charge planes this batch can reach.
         Zb = min(max(int(maxz[:n_rows].max()) - 1, 1), self.Z) if n_rows else 1
         fn, counts_only = self._stage1(W, Pk, R, Zb)
-        out_dev = fn(
-            masses_dev, jnp.asarray(spec_idx), jnp.asarray(p0),
-            jnp.asarray(i0a), jnp.asarray(i1a), jnp.asarray(maxz),
-        )
+        ints = np.stack([spec_idx, p0, i0a, i1a, maxz])  # one upload
+        out_dev = fn(peaks_dev, jnp.asarray(ints))
+        # Start the device->host copy as soon as the result is ready; by
+        # finalize time the bytes are usually already on the host.
+        out_dev.copy_to_host_async()
         return {
             "out_dev": out_dev, "counts_only": counts_only,
             "n_rows": n_rows, "n_spec": n_spec, "W": W,
@@ -790,21 +861,23 @@ class Scorer:
         }
 
     def _prelim_finalize(self, d):
-        out = jax.device_get(d["out_dev"])
+        out = jax.device_get(d["out_dev"])  # packed i32 [R, W+2 | 2K+2]
         counts_only = d["counts_only"]
         n_rows, n_spec, W = d["n_rows"], d["n_spec"], d["W"]
         p0, spec_idx = d["p0"], d["spec_idx"]
         row_z, row_iso = d["row_z"], d["row_iso"]
         if counts_only:
-            counts, mtot, scored = out
+            counts = out[:n_rows, :W]
+            mtot, scored = out[:, W], out[:, W + 1]
             # Reconstruct the (vals, pep) layout of the top-k path: the
             # whole window in reversed candidate order (peptide desc).
-            vals = counts[:n_rows, ::-1]
+            vals = counts[:, ::-1]
             pep = p0[:n_rows, None] + (W - 1 - np.arange(W, dtype=np.int32))
         else:
-            vals, pep, mtot, scored = out
-            vals = vals[:n_rows]
-            pep = pep[:n_rows]
+            K = self.K
+            vals = out[:n_rows, :K]
+            pep = out[:n_rows, K : 2 * K]
+            mtot, scored = out[:, 2 * K], out[:, 2 * K + 1]
 
         # Per-spectrum Poisson stats (sum over this spectrum's rows).
         spec_matched = np.bincount(
@@ -846,24 +919,27 @@ class Scorer:
 
     def _features_table(
         self, spectra, prelim, masses, intens, Pk, report_psms,
-        removed_masks=None, tic_override=None, masses_dev=None, intens_dev=None,
+        removed_masks=None, tic_override=None, peaks_dev=None,
+        masses_dev=None, intens_dev=None,
     ) -> FeatureTable:
         """Stage 2 + vectorized host feature assembly (scoring.rs:478-595,
         675-767). The full rescore runs on device (compact per-item
         outputs); the host assembles whole columns — no per-PSM Python."""
-        if masses_dev is None:
-            masses_dev = jnp.asarray(masses)
+        if masses_dev is not None or intens_dev is not None:
+            raise TypeError("pass peaks_dev (packed [2, S, Pk]) instead")
+        if peaks_dev is None and removed_masks is None:
+            peaks_dev = jnp.asarray(np.stack([masses, intens]))
         d2 = self._stage2_dispatch(
             prelim, intens, Pk, removed_masks=removed_masks,
-            masses_dev=masses_dev, intens_dev=intens_dev,
+            peaks_dev=peaks_dev, masses=masses,
         )
         return self._stage2_finalize(
             spectra, prelim, d2, report_psms, tic_override, masses, Pk
         )
 
     def _stage2_dispatch(
-        self, prelim, intens, Pk, removed_masks=None,
-        masses_dev=None, intens_dev=None,
+        self, prelim, intens, Pk, removed_masks=None, peaks_dev=None,
+        masses=None,
     ):
         p = self.params
         spec_i = prelim["cand_spec"]
@@ -889,15 +965,15 @@ class Scorer:
 
         if removed_masks is None:
             use_int = intens
-            use_int_dev = intens_dev if intens_dev is not None else jnp.asarray(intens)
         else:
+            # Chimera rounds modify intensities (removed peaks -> -1), so
+            # re-upload the packed peak pair with the masked intensities.
             use_int = np.where(removed_masks, -1.0, intens).astype(np.float32)
-            use_int_dev = jnp.asarray(use_int)
+            peaks_dev = jnp.asarray(np.stack([masses, use_int]))
         fn = self._stage2_compact(Pk, N, Zb)
-        out_dev = fn(
-            masses_dev, use_int_dev, jnp.asarray(spec_idx),
-            jnp.asarray(pep_idx), jnp.asarray(maxz),
-        )
+        ints = np.stack([spec_idx, pep_idx, maxz])  # one upload
+        out_dev = fn(peaks_dev, jnp.asarray(ints))
+        out_dev.copy_to_host_async()
         return {"out_dev": out_dev, "nI": nI, "use_int": use_int}
 
     def _stage2_finalize(
@@ -915,10 +991,12 @@ class Scorer:
             t = FeatureTable.empty()
             t.spec_ids = spec_ids
             return t
-        mb, my, sb, sy, ppm_sum, lb, ly = jax.device_get(d2["out_dev"])
-        mb, my = mb[:nI], my[:nI]
-        sb, sy, ppm_sum = sb[:nI], sy[:nI], ppm_sum[:nI]
-        lb, ly = lb[:nI], ly[:nI]
+        out = jax.device_get(d2["out_dev"])  # packed f32 [N, 7]
+        mb = out[:nI, 0].astype(np.int32)
+        my = out[:nI, 1].astype(np.int32)
+        sb, sy, ppm_sum = out[:nI, 2], out[:nI, 3], out[:nI, 4]
+        lb = out[:nI, 5].astype(np.int32)
+        ly = out[:nI, 6].astype(np.int32)
 
         # Vectorized exact feature math
         hs = hyperscore_vec(p.score_type, mb, my, sb, sy)
