@@ -241,6 +241,7 @@ class _DeviceTables:
         self.lad_index = None
         self.lad_full = None
         self.lad2d_index = None
+        self.lad2d_full = None
         self.SLp = 0
         if precomp:
             neg_inf = jnp.float32(-np.inf)
@@ -268,6 +269,11 @@ class _DeviceTables:
             lad2d = self.lad_index.reshape(self.P_pad, SL)
             self.lad2d_index = jnp.pad(
                 lad2d, ((0, 0), (0, self.SLp - SL)),
+                constant_values=-np.inf,
+            )
+            lad2df = self.lad_full.reshape(self.P_pad, SL)
+            self.lad2d_full = jnp.pad(
+                lad2df, ((0, 0), (0, self.SLp - SL)),
                 constant_values=-np.inf,
             )
 
@@ -607,10 +613,41 @@ class Scorer:
             self._stage2_cache[key] = self._build_stage2(Pk, N)
         return self._stage2_cache[key]
 
+    def _build_stage2_pallas(self, Pk: int, N: int, Z: int):
+        from .pallas_stage2 import stage2_pallas
+
+        tables = self.tables
+        tol = self.params.fragment_tol
+        tol_s = (tol.kind, float(tol.lo), float(tol.hi))
+        lad2d_full = tables.lad2d_full
+        is_nterm = tuple(bool(_SERIES_NTERM[k]) for k in self.series)
+
+        def run(peaks_dev, ints):
+            return stage2_pallas(
+                lad2d_full, peaks_dev, ints[0], ints[1], ints[2],
+                L=tables.L, SLp=tables.SLp, Pk=Pk, Z=Z, S=self.n_series,
+                is_nterm=is_nterm, tol=tol_s, N=N,
+            )
+
+        return run
+
     def _stage2_compact(self, Pk, N, Z):
         key = ("c", Pk, N, Z)
         if key not in self._stage2_cache:
-            self._stage2_cache[key] = self._build_stage2_compact(Pk, N, Z)
+            import os
+
+            # The stage-2 Pallas kernel is bit-identical but currently no
+            # faster than the fused XLA program (thin per-item ops dominate)
+            # — opt-in until it wins.
+            ok = (
+                self.tables.lad2d_full is not None
+                and N % 32 == 0
+                and os.environ.get("SAGE_TPU_PALLAS_STAGE2") == "1"
+            )
+            if self._use_pallas(ok):
+                self._stage2_cache[key] = self._build_stage2_pallas(Pk, N, Z)
+            else:
+                self._stage2_cache[key] = self._build_stage2_compact(Pk, N, Z)
         return self._stage2_cache[key]
 
     # ------------------------------------------------------------------
@@ -783,14 +820,19 @@ class Scorer:
                 None, e["masses"], e["Pk"],
             )
 
+        import os
+
+        # A = batches admitted ahead of an entry before its stage-1 fetch;
+        # deeper pipelines hide more link jitter at the cost of memory.
+        A = int(os.environ.get("SAGE_TPU_PIPELINE_DEPTH", "2"))
         for batch in batches:
             if not batch:
                 yield FeatureTable.empty()
                 continue
             pend.append(admit(batch))
-            if len(pend) >= 2:
-                advance(pend[-2])  # always the one admitted last iteration
-            if len(pend) >= 3:
+            if len(pend) >= A + 1:
+                advance(pend[-(A + 1)])  # oldest un-advanced entry
+            if len(pend) >= A + 2:
                 yield finish(pend.popleft())
         for e in pend:
             if e["d2"] is None:
