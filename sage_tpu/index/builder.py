@@ -97,6 +97,21 @@ class DatabaseParams:
     def enzyme_parameters(self) -> EnzymeParameters:
         return enzyme_parameters_from_config(self.enzyme)
 
+    def auto_prefilter_chunk_size(self, fasta: Fasta) -> int:
+        """database.rs:142-160: aim for ~2^23 modified peptides per chunk."""
+        if self.prefilter_chunk_size:
+            return self.prefilter_chunk_size
+        MAX_PEPS_PER_CHUNK = 1 << 23
+        enzyme = self.enzyme_parameters()
+        total_unmodified = len(fasta.digest(enzyme))
+        mod_count_estimate = (len(self.variable_mods) + 1) * (
+            1 << self.max_variable_mods
+        )
+        chunk_count = mod_count_estimate * total_unmodified // MAX_PEPS_PER_CHUNK
+        if chunk_count == 0:
+            return max(len(fasta.targets), 1)
+        return max(len(fasta.targets) // chunk_count, 1)
+
     # -- pipeline ---------------------------------------------------------
 
     def digest(self, fasta: Fasta) -> List[Peptide]:

@@ -119,6 +119,7 @@ class Search:
     protein_grouping: bool = True
     protein_grouping_peptide_fdr: float = 0.01
     score_type: str = "SageHyperScore"
+    bruker_config: Optional[dict] = None
     version: str = "0.1.0"
     output_paths: List[str] = dataclasses.field(default_factory=list)
 
@@ -287,4 +288,5 @@ def build_search(
         else True,
         protein_grouping_peptide_fdr=cfg.get("protein_grouping_peptide_fdr") or 0.01,
         score_type=cfg.get("score_type") or "SageHyperScore",
+        bruker_config=cfg.get("bruker_config"),
     )

@@ -107,10 +107,20 @@ class Runner:
         )
 
     def read_file(self, path: str, file_id: int) -> List[ProcessedSpectrum]:
+        """Format-dispatched spectrum reading + processing (util.rs:59-72,
+        runner.rs:377-480)."""
+        from ..io.cloudpath import read_spectra
+
         p = self.parameters
         sn_level = p.quant.tmt_settings.level if p.quant.tmt_settings.sn else None
         sp = self._spectrum_processor()
-        raw = read_mzml(path, file_id=file_id, signal_to_noise=sn_level)
+        raw = read_spectra(
+            path,
+            file_id=file_id,
+            signal_to_noise=sn_level,
+            requires_ms1=bool(p.quant.lfq),
+            bruker_config=p.bruker_config,
+        )
         return [sp.process(s) for s in raw]
 
     def process_file(
@@ -151,8 +161,67 @@ class Runner:
 
     # ------------------------------------------------------------------
 
+    def _prefilter_database(self):
+        """Low-memory giant-database mode (runner.rs:143-240 +
+        scoring.rs:255-298): digest the FASTA in chunks, quick-score every
+        MS2 scan against each chunk's mini-database, keep only matched
+        peptides, then build the final index from the union.
+
+        prefilter_low_memory=True mirrors the reference's full-rescore
+        retention (top report_psms per spectrum with >= min_matched_peaks);
+        False keeps every preliminary top-K candidate. Spectra are read
+        once up front in both modes (host RAM is not the constraint here
+        that it is for the reference's per-chunk re-reads)."""
+        from ..index.builder import reorder_peptides
+
+        p = self.parameters
+        dbp = p.database
+        fasta = self._fasta
+        chunk_size = dbp.auto_prefilter_chunk_size(fasta)
+        log.info("prefilter chunk size: %d proteins", chunk_size)
+
+        ms2 = []
+        for file_id, path in enumerate(p.mzml_paths):
+            spectra = self.read_file(path, file_id)
+            ms2.extend(
+                s for s in spectra if s.level == 2 and len(s) >= p.min_peaks
+            )
+
+        kept = []
+        sp = self.search_params()
+        for sub in fasta.iter_chunks(chunk_size):
+            mini = dbp.build(sub)
+            if not len(mini):
+                continue
+            scorer = Scorer(mini, sp)
+            keep_idx = set()
+            batches = [
+                ms2[i : i + SCORE_BATCH] for i in range(0, len(ms2), SCORE_BATCH)
+            ]
+            if dbp.prefilter_low_memory:
+                for t in scorer.score_stream(batches):
+                    keep_idx.update(int(i) for i in t.columns["peptide_idx"])
+            else:
+                for batch in batches:
+                    prelim = scorer._preliminary(batch)
+                    keep_idx.update(int(i) for i in prelim["cand_pep"])
+            kept.extend(mini.peptides[i] for i in sorted(keep_idx))
+            log.info(
+                "- prefilter chunk: kept %d/%d peptides", len(keep_idx), len(mini)
+            )
+
+        reorder_peptides(kept)
+        db = dbp.build_from_peptides(kept)
+        log.info(
+            "prefiltered database: %d peptides, %d fragments",
+            len(db), db.num_fragments,
+        )
+        return db
+
     def run(self) -> dict:
         p = self.parameters
+        if self.database is None:
+            self.database = self._prefilter_database()
         scorer = Scorer(self.database, self.search_params())
 
         all_tables = []

@@ -102,3 +102,25 @@ def test_results_json(run_result):
     assert params["isotope_errors"] == [-1, 3]
     assert params["database"]["fasta"].endswith("Q99536.fasta")
     assert any(p.endswith("results.sage.tsv") for p in params["output_paths"])
+
+
+@pytest.mark.parametrize("low_memory", [True, False])
+def test_prefilter_mode(tmp_path, low_memory):
+    """Prefilter mode (runner.rs:143-240) must find the same golden PSM:
+    the chunked quick-score retains the matching peptide, and the final
+    index built from the union reproduces the standard search."""
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    cfg = json.loads(json.dumps(CONFIG))
+    cfg["database"]["prefilter"] = True
+    cfg["database"]["prefilter_low_memory"] = low_memory
+    cfg["database"]["prefilter_chunk_size"] = 1
+    search = build_search(cfg, output_directory=str(tmp_path))
+    runner = Runner(search)
+    result = runner.run()
+    feats = result["features"]
+    assert len(feats) == 1
+    pep = runner.database.peptides[int(feats.columns["peptide_idx"][0])]
+    assert pep.sequence == b"LQSRPAAPPAPGPGQLTLR"
+    assert int(feats.columns["matched_peaks"][0]) == 22
