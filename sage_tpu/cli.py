@@ -67,6 +67,7 @@ def main(argv=None) -> int:
         write_pin=args.write_pin or None,
         write_report=args.write_report or None,
         annotate_matches=args.annotate_matches or None,
+        parquet=args.parquet or None,
     )
     runner = Runner(search)
     result = runner.run()

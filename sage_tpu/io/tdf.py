@@ -63,6 +63,26 @@ class BrukerMs1Config:
     ims_pct: float = 3.0
 
 
+def _zstd_frame_content_size(data: bytes) -> Optional[int]:
+    """Frame-header content size per RFC 8878 (when recorded)."""
+    if len(data) < 6 or data[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = data[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    dict_flag = fhd & 3
+    pos = 5 + (0 if single_segment else 1) + (0, 1, 2, 4)[dict_flag]
+    if fcs_flag == 0:
+        if not single_segment:
+            return None
+        return data[pos]
+    if fcs_flag == 1:
+        return int.from_bytes(data[pos : pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(data[pos : pos + 4], "little")
+    return int.from_bytes(data[pos : pos + 8], "little")
+
+
 def _zstd_decompress(data: bytes) -> bytes:
     try:
         from compression import zstd  # Python 3.14+
@@ -74,11 +94,30 @@ def _zstd_decompress(data: bytes) -> bytes:
         import zstandard
 
         return zstandard.ZstdDecompressor().decompress(data)
-    except ImportError as e:
-        raise RuntimeError(
-            "this .d file uses TimsCompressionType 2 (zstd); install the "
-            "'zstandard' package (not available in this environment) to read it"
-        ) from e
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd")
+        size = _zstd_frame_content_size(data)
+        if size is not None:
+            return codec.decompress(data, decompressed_size=size).to_pybytes()
+        # content size not recorded: grow the guess until it fits
+        guess = max(len(data) * 8, 1 << 16)
+        while guess <= (1 << 31):
+            try:
+                return codec.decompress(
+                    data, decompressed_size=guess
+                ).to_pybytes()
+            except Exception:
+                guess *= 4
+    except ImportError:
+        pass
+    raise RuntimeError(
+        "this .d file uses TimsCompressionType 2 (zstd); no zstd codec "
+        "is importable (tried compression.zstd, zstandard, pyarrow)"
+    )
 
 
 class TofMzConverter:

@@ -116,6 +116,7 @@ class Search:
     write_pin: bool = False
     write_report: bool = False
     annotate_matches: bool = False
+    parquet: bool = False
     protein_grouping: bool = True
     protein_grouping_peptide_fdr: float = 0.01
     score_type: str = "SageHyperScore"
@@ -210,6 +211,7 @@ def build_search(
     write_pin: Optional[bool] = None,
     write_report: Optional[bool] = None,
     annotate_matches: Optional[bool] = None,
+    parquet: Optional[bool] = None,
 ) -> Search:
     """Input::build with CLI overrides (input.rs:199-246, 286-386)."""
     dbcfg = dict(cfg.get("database") or {})
@@ -283,6 +285,7 @@ def build_search(
         write_pin=flag("write_pin", write_pin),
         write_report=flag("write_report", write_report),
         annotate_matches=flag("annotate_matches", annotate_matches),
+        parquet=flag("parquet", parquet),
         protein_grouping=cfg.get("protein_grouping", True)
         if cfg.get("protein_grouping") is not None
         else True,

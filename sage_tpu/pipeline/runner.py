@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import gzip
 import logging
+import os
 import time
 from typing import List, Optional, Tuple
 
@@ -287,15 +288,65 @@ class Runner:
         )
 
         writer = OutputWriter(self.database, p.output_directory)
-        p.output_paths.append(writer.write_features(features, filenames))
-        if p.annotate_matches:
-            p.output_paths.append(writer.write_fragments(features))
-        if all_quant:
-            p.output_paths.append(writer.write_tmt(all_quant, p.quant.tmt, filenames))
-        if areas is not None:
-            p.output_paths.append(writer.write_lfq(areas, filenames))
+        if p.parquet:
+            # parquet output set replaces the TSVs (runner.rs:597-640)
+            from . import parquet_out
+
+            reporter = None
+            n_rep = 0
+            if all_quant and p.quant.tmt is not None:
+                reporter = {
+                    (q.file_id, q.spec_id): q.peaks for q in all_quant
+                }
+                n_rep = len(p.quant.tmt.headers())
+            out = os.path.join(p.output_directory, "results.sage.parquet")
+            p.output_paths.append(
+                parquet_out.write_features_parquet(
+                    out, self.database, features, filenames,
+                    reporter_ions=reporter, n_reporter=n_rep,
+                )
+            )
+            if p.annotate_matches:
+                p.output_paths.append(
+                    parquet_out.write_fragments_parquet(
+                        os.path.join(
+                            p.output_directory,
+                            "matched_fragments.sage.parquet",
+                        ),
+                        features,
+                    )
+                )
+            if areas is not None:
+                p.output_paths.append(
+                    parquet_out.write_lfq_parquet(
+                        os.path.join(p.output_directory, "lfq.parquet"),
+                        self.database, areas, filenames,
+                    )
+                )
+        else:
+            p.output_paths.append(writer.write_features(features, filenames))
+            if p.annotate_matches:
+                p.output_paths.append(writer.write_fragments(features))
+            if all_quant:
+                p.output_paths.append(
+                    writer.write_tmt(all_quant, p.quant.tmt, filenames)
+                )
+            if areas is not None:
+                p.output_paths.append(writer.write_lfq(areas, filenames))
         if p.write_pin:
             p.output_paths.append(writer.write_pin(features, filenames))
+        if p.write_report:
+            from .report import render_report
+
+            rp = os.path.join(p.output_directory, "sage.report.html")
+            with open(rp, "w") as f:
+                f.write(
+                    render_report(
+                        features, filenames, p.to_json_dict(), areas,
+                        version=p.version,
+                    )
+                )
+            p.output_paths.append(rp)
         p.output_paths.append(writer.write_results_json(p.to_json_dict()))
 
         run_time = int(time.monotonic() - self.start)

@@ -124,3 +124,55 @@ def test_prefilter_mode(tmp_path, low_memory):
     pep = runner.database.peptides[int(feats.columns["peptide_idx"][0])]
     assert pep.sequence == b"LQSRPAAPPAPGPGQLTLR"
     assert int(feats.columns["matched_peaks"][0]) == 22
+
+
+def test_parquet_output(tmp_path):
+    """--parquet replaces the TSV outputs with the reference's parquet
+    schemas (parquet.rs:28-83, 255-412): 44/45-column results (the
+    reporter-ion list column appears only with TMT) + matched fragments."""
+    pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    cfg = json.loads(json.dumps(CONFIG))
+    search = build_search(
+        cfg, output_directory=str(tmp_path), parquet=True, annotate_matches=True
+    )
+    runner = Runner(search)
+    runner.run()
+    res = pq.read_table(str(tmp_path / "results.sage.parquet"))
+    assert res.num_rows == 1
+    names = res.schema.names
+    assert names[0] == "psm_id"
+    assert "sage_discriminant_score" in names and "protein_group_q" in names
+    assert len(names) == 44  # no TMT -> no reporter_ion_intensity column
+    d = res.to_pydict()
+    assert d["peptide"][0] == "LQSRPAAPPAPGPGQLTLR"
+    assert d["stripped_peptide"][0] == "LQSRPAAPPAPGPGQLTLR"
+    assert d["charge"][0] == 3
+    assert d["matched_peaks"][0] == 22
+    assert d["is_decoy"][0] is False
+
+    frag = pq.read_table(str(tmp_path / "matched_fragments.sage.parquet"))
+    assert frag.num_rows == 22
+    assert frag.schema.names[1] == "fragment_type"
+    assert set(frag.to_pydict()["fragment_type"]) <= {"b", "y"}
+
+
+def test_html_report(tmp_path):
+    """--write-report emits the 4-section QC HTML (runner.rs:1242-1802)."""
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    cfg = json.loads(json.dumps(CONFIG))
+    search = build_search(cfg, output_directory=str(tmp_path), write_report=True)
+    Runner(search).run()
+    htm = (tmp_path / "sage.report.html").read_text()
+    for needle in (
+        "Results overview", "Scoring quality control",
+        "Predicted properties", "Configuration", "<svg", "LQSRPAAPPAPGPGQLTLR",
+    ):
+        assert needle in htm, needle
+    assert htm.count("<svg") >= 4

@@ -164,3 +164,65 @@ def test_format_dispatch_tdf(d_dir):
         "sage_tpu.io.cloudpath", fromlist=["read_spectra"]
     ).read_spectra(d_dir)
     assert len(spectra_via_dispatch) == 1
+
+
+def test_compression_type2_zstd(tmp_path):
+    """Type-2 frames: zstd-compressed byte-plane-shuffled u32 stream,
+    decompressed via whichever zstd codec is importable (pyarrow here)."""
+    pytest.importorskip("pyarrow")
+    import pyarrow as pa
+
+    d = tmp_path / "z.d"
+    os.makedirs(d)
+    u32 = np.asarray([2, 4, 1000, 100, 2000, 60, 500, 40], np.uint32)
+    raw = u32.tobytes()
+    shuffled = np.frombuffer(raw, np.uint8).reshape(-1, 4).T.tobytes()
+    payload = pa.Codec("zstd", compression_level=3).compress(
+        shuffled, asbytes=True
+    )
+    with open(d / "analysis.tdf_bin", "wb") as f:
+        f.write(struct.pack("<II", len(payload) + 8, 2) + payload)
+    con = sqlite3.connect(d / "analysis.tdf")
+    con.executescript(
+        """
+        CREATE TABLE GlobalMetadata (Key TEXT, Value TEXT);
+        CREATE TABLE Frames (Id INTEGER, Time REAL, MsMsType INTEGER,
+                             TimsId INTEGER, NumScans INTEGER);
+        CREATE TABLE PasefFrameMsMsInfo (Frame INTEGER, ScanNumBegin INTEGER,
+            ScanNumEnd INTEGER, IsolationMz REAL, IsolationWidth REAL,
+            CollisionEnergy REAL, Precursor INTEGER);
+        CREATE TABLE Precursors (Id INTEGER, LargestPeakMz REAL,
+            AverageMz REAL, MonoisotopicMz REAL, Charge INTEGER,
+            ScanNumber REAL, Intensity REAL, Parent INTEGER);
+        """
+    )
+    con.executemany(
+        "INSERT INTO GlobalMetadata VALUES (?, ?)",
+        {
+            "TimsCompressionType": "2",
+            "MzAcqRangeLower": str(MZ_LO),
+            "MzAcqRangeUpper": str(MZ_HI),
+            "DigitizerNumSamples": str(N_SAMPLES),
+            "OneOverK0AcqRangeLower": str(IM_LO),
+            "OneOverK0AcqRangeUpper": str(IM_HI),
+        }.items(),
+    )
+    con.execute("INSERT INTO Frames VALUES (1, 5.0, 8, 0, 2)")
+    con.execute(
+        "INSERT INTO PasefFrameMsMsInfo VALUES (1, 0, 2, 450.0, 2.0, 30.0, 1)"
+    )
+    con.execute(
+        "INSERT INTO Precursors VALUES (1, 450.1, 450.0, 449.9, 2, 0.0, 1.0, 1)"
+    )
+    con.commit()
+    con.close()
+    spectra = TdfReader().parse(str(d))
+    assert len(spectra) == 1
+    s = spectra[0]
+    conv = TofMzConverter(MZ_LO, MZ_HI, N_SAMPLES)
+    # counts [2, 4]: scan0 one pair (tof 1000), scan1 two pairs with
+    # within-scan cumulative tofs 2000, 2500
+    np.testing.assert_allclose(
+        s.mz, conv.to_mz(np.array([1000, 2000, 2500])), rtol=1e-6
+    )
+    np.testing.assert_allclose(s.intensity, [100.0, 60.0, 40.0])
