@@ -72,6 +72,18 @@ def main(argv=None) -> int:
     runner = Runner(search)
     result = runner.run()
     print(json.dumps(search.to_json_dict(), indent=2))
+    if not args.disable_telemetry:
+        from .pipeline.telemetry import Telemetry
+
+        Telemetry(
+            search,
+            peptides=len(runner.database) if runner.database else 0,
+            fragments=(
+                runner.database.num_fragments if runner.database else 0
+            ),
+            parquet=search.parquet,
+            runtime_secs=result["run_time"],
+        ).send()
     return 0
 
 

@@ -440,3 +440,133 @@ def binary_search_slice(arr: np.ndarray, low, high) -> Tuple[int, int]:
     left = max(int(np.searchsorted(arr, low, side="left")) - 1, 0)
     right = int(np.searchsorted(arr, high, side="right"))
     return left, max(right, left)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume
+# ---------------------------------------------------------------------------
+
+CHECKPOINT_VERSION = 1
+
+
+def save_database(db: IndexedDatabase, path: str) -> str:
+    """Serialize a built database to one .npz checkpoint.
+
+    The reference only has a debug dump (database.rs:435-458, never called
+    by its runner); here checkpointing is a first-class feature — the
+    index build is the natural restart unit for large-scale runs. All
+    columnar arrays round-trip exactly (f32 bit patterns preserved);
+    variable-length peptide metadata (mods, protein lists) is stored as
+    flattened arrays + offsets."""
+    import json as _json
+
+    peps = db.peptides
+    n = len(peps)
+    seq_flat = b"".join(p.sequence for p in peps)
+    seq_lens = np.array([len(p.sequence) for p in peps], dtype=np.int32)
+    mods_flat = np.concatenate(
+        [np.asarray(p.modifications, dtype=np.float32) for p in peps]
+    ) if n else np.zeros(0, np.float32)
+    nterm = np.array(
+        [p.nterm if p.nterm is not None else np.nan for p in peps], np.float32
+    )
+    cterm = np.array(
+        [p.cterm if p.cterm is not None else np.nan for p in peps], np.float32
+    )
+    prot_lists = [p.proteins for p in peps]
+    prot_offsets = np.cumsum([0] + [len(x) for x in prot_lists]).astype(np.int64)
+    prot_flat = "\x00".join(s for x in prot_lists for s in x)
+
+    meta = {
+        "version": CHECKPOINT_VERSION,
+        "bucket_size": db.bucket_size,
+        "ion_kinds": list(db.ion_kinds),
+        "min_ion_index": db.min_ion_index,
+        "generate_decoys": db.generate_decoys,
+        "decoy_tag": db.decoy_tag,
+        "potential_mods": [
+            [str(spec), float(m)] for spec, m in db.potential_mods
+        ],
+    }
+    np.savez_compressed(
+        path,
+        meta=np.frombuffer(_json.dumps(meta).encode(), dtype=np.uint8),
+        seq_flat=np.frombuffer(seq_flat, dtype=np.uint8),
+        seq_lens=seq_lens,
+        mods_flat=mods_flat,
+        nterm=nterm,
+        cterm=cterm,
+        mono=np.array([p.monoisotopic for p in peps], np.float32),
+        decoy=np.array([p.decoy for p in peps], bool),
+        missed_cleavages=np.array([p.missed_cleavages for p in peps], np.int32),
+        semi=np.array([p.semi_enzymatic for p in peps], bool),
+        position=np.array([int(p.position) for p in peps], np.int32),
+        prot_offsets=prot_offsets,
+        prot_flat=np.frombuffer(prot_flat.encode(), dtype=np.uint8),
+        fragment_mz=db.fragment_mz,
+        fragment_pep=db.fragment_pep,
+        bucket_min=db.bucket_min,
+    )
+    return path
+
+
+def load_database(path: str) -> IndexedDatabase:
+    """Restore a database checkpoint written by :func:`save_database`."""
+    import json as _json
+
+    from ..chem.enzyme import Position
+    from ..chem.modification import ModificationSpecificity
+
+    z = np.load(path, allow_pickle=False)
+    meta = _json.loads(bytes(z["meta"].tobytes()).decode())
+    if meta["version"] != CHECKPOINT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {meta['version']}")
+    seq_lens = z["seq_lens"]
+    seq_flat = z["seq_flat"].tobytes()
+    mods_flat = z["mods_flat"]
+    nterm, cterm = z["nterm"], z["cterm"]
+    mono, decoy = z["mono"], z["decoy"]
+    mc, semi, pos = z["missed_cleavages"], z["semi"], z["position"]
+    prot_offsets = z["prot_offsets"]
+    prot_all = z["prot_flat"].tobytes().decode()
+    prot_items = prot_all.split("\x00") if prot_all else []
+
+    peptides: List[Peptide] = []
+    so = 0
+    for i in range(seq_lens.shape[0]):
+        L = int(seq_lens[i])
+        seq = seq_flat[so : so + L]
+        mods = list(mods_flat[so : so + L])
+        so += L
+        p = Peptide(
+            decoy=bool(decoy[i]),
+            sequence=seq,
+            modifications=mods,
+            nterm=None if np.isnan(nterm[i]) else np.float32(nterm[i]),
+            cterm=None if np.isnan(cterm[i]) else np.float32(cterm[i]),
+            monoisotopic=np.float32(mono[i]),
+            missed_cleavages=int(mc[i]),
+            semi_enzymatic=bool(semi[i]),
+            position=Position(int(pos[i])),
+            proteins=prot_items[prot_offsets[i] : prot_offsets[i + 1]],
+        )
+        peptides.append(p)
+
+    table = PeptideTable.from_peptides(peptides)
+    potential_mods = [
+        (ModificationSpecificity.parse(s), np.float32(m))
+        for s, m in meta["potential_mods"]
+    ]
+    return IndexedDatabase(
+        peptides=peptides,
+        table=table,
+        fragment_mz=z["fragment_mz"],
+        fragment_pep=z["fragment_pep"],
+        bucket_min=z["bucket_min"],
+        bucket_size=int(meta["bucket_size"]),
+        ion_kinds=tuple(meta["ion_kinds"]),
+        min_ion_index=int(meta["min_ion_index"]),
+        generate_decoys=bool(meta["generate_decoys"]),
+        decoy_tag=meta["decoy_tag"],
+        potential_mods=potential_mods,
+    )
