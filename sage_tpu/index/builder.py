@@ -162,6 +162,10 @@ class DatabaseParams:
         order = np.argsort(frag_mz, kind="stable")
         frag_mz = frag_mz[order]
         frag_pep = frag_pep[order]
+        # Flat m/z-sorted copies for the peak-major open-search path
+        # (the bucketed arrays below are re-sorted by peptide per bucket).
+        frag_mz_flat = frag_mz.copy()
+        frag_pep_flat = frag_pep.copy()
 
         n = frag_mz.shape[0]
         bucket_size = self.bucket_size
@@ -189,6 +193,8 @@ class DatabaseParams:
             generate_decoys=self.generate_decoys,
             decoy_tag=self.decoy_tag,
             potential_mods=potential_mods,
+            fragment_mz_flat=frag_mz_flat,
+            fragment_pep_flat=frag_pep_flat,
         )
 
 
@@ -388,6 +394,10 @@ class IndexedDatabase:
     generate_decoys: bool
     decoy_tag: str
     potential_mods: List[Tuple[ModificationSpecificity, float]]
+    # Flat m/z-sorted index (peak-major open-search path); None only for
+    # checkpoints written before these fields existed.
+    fragment_mz_flat: Optional[np.ndarray] = None
+    fragment_pep_flat: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.peptides)
@@ -557,7 +567,12 @@ def load_database(path: str) -> IndexedDatabase:
         (ModificationSpecificity.parse(s), np.float32(m))
         for s, m in meta["potential_mods"]
     ]
+    # The flat m/z-sorted view is a permutation of the bucketed arrays;
+    # rebuild it rather than storing it twice.
+    forder = np.argsort(z["fragment_mz"], kind="stable")
     return IndexedDatabase(
+        fragment_mz_flat=z["fragment_mz"][forder],
+        fragment_pep_flat=z["fragment_pep"][forder],
         peptides=peptides,
         table=table,
         fragment_mz=z["fragment_mz"],

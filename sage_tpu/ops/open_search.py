@@ -1,0 +1,202 @@
+"""Peak-major preliminary scoring for open (wide precursor window) search.
+
+The candidate-major stage 1 (ops/search.py) regenerates every candidate's
+ion ladder, which is ideal for narrow windows but scales as
+O(window x L x Pk) per query — hopeless when a -500/+100 Da window spans
+most of the peptide table. This module is the TPU re-design of the
+reference's bucketed index walk for that regime
+(/root/reference/crates/sage/src/database.rs:480-536 +
+scoring.rs:335-382):
+
+1. HOST: for every (peak, fragment-charge) the tolerance window is a
+   contiguous range of the flat m/z-sorted fragment index — two
+   vectorized searchsorted calls (the f32 window bounds use the exact
+   reference op order, so the range covers exactly the in-tolerance
+   fragments).
+2. DEVICE: the ragged ranges are flattened per spectrum with the
+   offset-cumsum trick (a [Pk*Z]-sized scatter + cumsum builds the gather
+   index for every entry slot — no per-entry control flow), the fragment
+   -> peptide ids are gathered from HBM, sorted DESCENDING per spectrum,
+   and run-length counted. top_k over run-end counts then yields the
+   per-row top-K (count, peptide) with exactly the PreScore tie rule
+   (count desc, peptide desc — scoring.rs:43-49), because descending
+   order makes top_k's first-occurrence preference pick the largest
+   peptide index.
+3. Per query row (spectrum x charge x isotope), entries are masked by the
+   row's precursor-mass range [i0, i1) and fragment-charge bound before
+   counting, so counts equal the candidate-major stage 1 bit-for-bit.
+
+Returns the same packed [R, K*2+2] i32 layout as the top-k stage-1 path:
+(vals[K], pep[K], matched_total, scored).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+F32 = np.float32
+
+
+@functools.partial(jax.jit, static_argnames=("F", "Pk", "Z", "K", "R"))
+def _device_open_count(
+    frag_pep,      # i32 [N_frag_pad] (HBM)
+    starts,        # i32 [B, Z*Pk] window range starts
+    lens,          # i32 [B, Z*Pk] window range lengths
+    row_spec,      # i32 [R] spectrum index per query row
+    row_i0,        # i32 [R] precursor candidate range
+    row_i1,        # i32 [R]
+    row_maxz,      # i32 [R] exclusive fragment-charge bound
+    *, F, Pk, Z, K, R,
+):
+    B = starts.shape[0]
+    # ---- ragged flatten: entry j of spectrum b reads frag index
+    #      src[b, j] = starts[b, w] + (j - cum[b, w-1]) for its window w.
+    cum = jnp.cumsum(lens, axis=1)                      # [B, W]
+    cum0 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1
+    )
+    total = cum[:, -1]                                  # [B]
+    # offset_w = starts[w] - cum0[w]; build per-entry offsets by
+    # scattering the boundary deltas and cumsum-ing.
+    off_w = starts - cum0                               # [B, W]
+    off_delta = jnp.concatenate(
+        [off_w[:, :1], off_w[:, 1:] - off_w[:, :-1]], axis=1
+    )
+    deltas = jnp.zeros((B, F), jnp.int32)
+    clip_pos = jnp.minimum(cum0, F - 1)
+    # windows with len 0 still carry their delta so later offsets stay
+    # correct; duplicate positions accumulate (scatter-add)
+    deltas = deltas.at[jnp.arange(B)[:, None], clip_pos].add(off_delta)
+    src = jnp.cumsum(deltas, axis=1) + jnp.arange(F, dtype=jnp.int32)[None, :]
+    jvalid = jnp.arange(F, dtype=jnp.int32)[None, :] < total[:, None]
+    src = jnp.clip(src, 0, frag_pep.shape[0] - 1)
+    pep = jnp.where(jvalid, frag_pep[src], jnp.int32(-1))   # [B, F]
+    # fragment-charge tag of each entry's window (windows laid out
+    # z-major: w = (z-1)*Pk + peak) via the same boundary-cumsum trick
+    w_of = jnp.cumsum(
+        jnp.zeros((B, F), jnp.int32).at[
+            jnp.arange(B)[:, None], clip_pos
+        ].add(jnp.ones((B, starts.shape[1]), jnp.int32)),
+        axis=1,
+    ) - 1
+    z_of = jnp.clip(w_of, 0, Z * Pk - 1) // Pk + 1          # [B, F]
+
+    # ---- sort per spectrum by peptide DESCENDING, carrying the z tag
+    neg = jnp.where(pep >= 0, -pep, jnp.int32(2**30))
+    neg_sorted, z_sorted = jax.lax.sort((neg, z_of), dimension=1, num_keys=1)
+    pep_sorted = jnp.where(neg_sorted < 2**30, -neg_sorted, jnp.int32(-1))
+
+    run_start = jnp.concatenate(
+        [
+            jnp.ones((B, 1), dtype=bool),
+            pep_sorted[:, 1:] != pep_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    # index of each entry's run start: cummax of (j where run starts)
+    jidx = jnp.arange(F, dtype=jnp.int32)[None, :]
+    start_idx = jax.lax.cummax(jnp.where(run_start, jidx, 0), axis=1)
+    run_end = jnp.concatenate(
+        [pep_sorted[:, 1:] != pep_sorted[:, :-1], jnp.ones((B, 1), bool)],
+        axis=1,
+    )
+
+    # ---- per query row: mask by precursor range + charge bound, count
+    def per_row(spec, i0, i1, maxz):
+        p = pep_sorted[spec]
+        zt = z_sorted[spec]
+        ok = (p >= i0) & (p < i1) & (zt < maxz)
+        cs = jnp.cumsum(ok.astype(jnp.int32))
+        cs0 = jnp.concatenate([jnp.zeros(1, jnp.int32), cs[:-1]])
+        base = cs0[start_idx[spec]]
+        cnt = jnp.where(run_end[spec] & (p >= 0), cs - base, 0)
+        matched_total = jnp.sum(ok & (p >= 0))
+        scored = jnp.sum((cnt > 0).astype(jnp.int32))
+        vals, idx = jax.lax.top_k(cnt, K)
+        cand = jnp.where(vals > 0, p[idx], jnp.int32(0))
+        return vals, cand, matched_total, scored
+
+    vals, cand, mtot, scored = jax.vmap(per_row)(
+        row_spec, row_i0, row_i1, row_maxz
+    )
+    return jnp.concatenate(
+        [vals, cand, mtot[:, None], scored[:, None]], axis=1
+    )
+
+
+class OpenSearcher:
+    """Peak-major preliminary counts against the flat sorted fragment
+    index. Constructed per Scorer; stateless between batches apart from
+    the device-resident peptide-id array."""
+
+    def __init__(self, db, frag_tol, Z: int, K: int = 50):
+        assert db.fragment_mz_flat is not None
+        self.frag_mz = db.fragment_mz_flat
+        n = db.fragment_pep_flat.shape[0]
+        n_pad = max(((n + 127) // 128) * 128, 128)
+        pep_pad = np.full(n_pad, -1, np.int32)
+        pep_pad[:n] = db.fragment_pep_flat.astype(np.int32)
+        self.frag_pep_dev = jnp.asarray(pep_pad)
+        self.frag_tol = frag_tol
+        self.Z = Z
+        self.K = K
+
+    def ranges(self, masses: np.ndarray, Zb: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Host: [B, Zb*Pk] range starts/lengths for every (z, peak)
+        window over the sorted fragment m/z array. +inf-padded peaks give
+        NaN/inf bounds -> empty ranges."""
+        B, Pk = masses.shape
+        starts = np.zeros((B, Zb * Pk), np.int32)
+        lens = np.zeros((B, Zb * Pk), np.int32)
+        for zi in range(Zb):
+            q = (masses * F32(zi + 1)).astype(np.float32)
+            with np.errstate(invalid="ignore"):
+                # +inf padding peaks produce inf*ppm = NaN bounds; they
+                # are zeroed below
+                lo, hi = self.frag_tol.bounds(q)
+                s = np.searchsorted(self.frag_mz, lo, side="left")
+                e = np.searchsorted(self.frag_mz, hi, side="right")
+            bad = ~np.isfinite(lo) | ~np.isfinite(hi)
+            s[bad] = 0
+            e[bad] = 0
+            starts[:, zi * Pk : (zi + 1) * Pk] = s
+            lens[:, zi * Pk : (zi + 1) * Pk] = np.maximum(e - s, 0)
+        return starts, lens
+
+    def preliminary_packed(
+        self, masses: np.ndarray, rows: Dict[str, np.ndarray],
+        maxz: np.ndarray, R: int, Zb: int,
+    ) -> np.ndarray:
+        """Packed i32 [R, 2K+2] preliminary result for the given query
+        rows (same layout as the candidate-major top-k path)."""
+        starts, lens = self.ranges(masses, Zb)
+        totals = lens.reshape(masses.shape[0], -1).sum(axis=1)
+        # F strictly greater than any spectrum's total so trailing empty
+        # windows scatter their offset deltas past the last real entry
+        F = int(max(totals.max(), 1)) + 1
+        F = max(((F + 127) // 128) * 128, 128)
+        n_rows = rows["si"].size
+        row_spec = np.zeros(R, np.int32)
+        row_i0 = np.zeros(R, np.int32)
+        row_i1 = np.zeros(R, np.int32)
+        row_spec[:n_rows] = rows["si"]
+        row_i0[:n_rows] = rows["i0"]
+        row_i1[:n_rows] = rows["i1"]
+        out = _device_open_count(
+            self.frag_pep_dev,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(row_spec),
+            jnp.asarray(row_i0),
+            jnp.asarray(row_i1),
+            jnp.asarray(maxz),
+            F=F, Pk=masses.shape[1], Z=Zb, K=self.K, R=R,
+        )
+        out.copy_to_host_async()
+        return out  # device handle; caller device_gets at finalize time

@@ -570,6 +570,25 @@ class Scorer:
 
         return jax.jit(run)
 
+    def _open_path(self, W: int) -> bool:
+        """Use the peak-major open-search path when the candidate window
+        is wide enough that per-row ladder scans dominate."""
+        import os
+
+        if self.db.fragment_mz_flat is None:
+            return False
+        thresh = int(os.environ.get("SAGE_TPU_OPEN_THRESHOLD", "8192"))
+        return W >= thresh
+
+    def _open_searcher(self):
+        if getattr(self, "_open", None) is None:
+            from .open_search import OpenSearcher
+
+            self._open = OpenSearcher(
+                self.db, self.params.fragment_tol, self.Z, K=self.K
+            )
+        return self._open
+
     def _use_pallas(self, counts_only: bool) -> bool:
         import os
 
@@ -890,6 +909,19 @@ class Scorer:
 
         # Only compile/compute the charge planes this batch can reach.
         Zb = min(max(int(maxz[:n_rows].max()) - 1, 1), self.Z) if n_rows else 1
+        if self._open_path(W):
+            # Wide precursor windows (open search): peak-major counting
+            # over the flat sorted fragment index instead of scanning a
+            # near-table-wide candidate window per row.
+            out_dev = self._open_searcher().preliminary_packed(
+                masses, rows, maxz, R, Zb
+            )
+            return {
+                "out_dev": out_dev, "counts_only": False,
+                "n_rows": n_rows, "n_spec": n_spec, "W": W,
+                "p0": p0, "spec_idx": spec_idx, "row_z": row_z,
+                "row_iso": row_iso,
+            }
         fn, counts_only = self._stage1(W, Pk, R, Zb)
         ints = np.stack([spec_idx, p0, i0a, i1a, maxz])  # one upload
         out_dev = fn(peaks_dev, jnp.asarray(ints))

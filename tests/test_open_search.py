@@ -1,0 +1,128 @@
+"""Open-search path: the peak-major preliminary counter over the flat
+sorted fragment index must reproduce the candidate-major stage 1
+bit-for-bit (ops/open_search.py vs ops/search.py), including PreScore
+tie-breaking, Poisson statistics and all downstream features."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sage_tpu.chem.fasta import Fasta
+from sage_tpu.chem.mass import PROTON, Tolerance
+from sage_tpu.index.builder import DatabaseParams
+from sage_tpu.ops.search import Scorer, SearchParams
+from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum
+
+AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+
+
+def synth_fasta(n_proteins: int, length: int = 240, seed: int = 3) -> str:
+    rng = np.random.default_rng(seed)
+    lines = []
+    for i in range(n_proteins):
+        seq = AA[rng.integers(0, len(AA), size=length)].tobytes().decode()
+        lines.append(f">sp|OPEN{i:04d}|OPEN{i}_SYN synthetic\n{seq}")
+    return "\n".join(lines)
+
+
+@pytest.fixture(scope="module")
+def db():
+    params = DatabaseParams()
+    return params.build(Fasta.parse(synth_fasta(40), params.decoy_tag, True))
+
+
+def _spectra(db, n, seed=5):
+    rng = np.random.default_rng(seed)
+    b, y = db.table.ladders()
+    out = []
+    targets = np.flatnonzero(db.table.lens >= 7)
+    for i in range(n):
+        p = int(rng.choice(targets))
+        nion = int(db.table.lens[p]) - 1
+        frags = np.concatenate([b[p, :nion], y[p, :nion]])
+        take = frags[rng.random(frags.shape[0]) < 0.8]
+        noise = rng.uniform(200.0, 2000.0, size=25).astype(np.float32)
+        masses = np.sort(np.concatenate([take, noise]).astype(np.float32))
+        intens = rng.uniform(1.0, 1e5, size=masses.shape[0]).astype(np.float32)
+        # shift the precursor by a random "modification" within the open
+        # window so the open search must look far from the true mass
+        shift = float(rng.uniform(-80.0, 80.0))
+        mono = float(db.table.mono[p])
+        out.append(
+            ProcessedSpectrum(
+                level=2, id=f"scan={i}", file_id=0,
+                scan_start_time=float(i) * 0.01, ion_injection_time=1.0,
+                precursors=[Precursor(mz=(mono + shift) / 2 + PROTON, charge=2)],
+                masses=masses, intensities=intens,
+                mobilities=np.zeros(0, np.float32),
+                total_ion_current=np.float32(intens.sum()),
+            )
+        )
+    return out
+
+
+def test_open_matches_candidate_major(db, monkeypatch):
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -500.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        min_matched_peaks=4,
+        report_psms=2,
+    )
+    spectra = _spectra(db, 48)
+
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")  # force peak-major
+    t_open = Scorer(db, sp).score_table(spectra)
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "999999999")  # force dense
+    t_dense = Scorer(db, sp).score_table(spectra)
+
+    assert len(t_open) == len(t_dense) > 0
+    for k in t_dense.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_open.columns[k], t_dense.columns[k], err_msg=f"column {k}"
+        )
+
+
+def test_open_prelim_counts_match_index_query(db, monkeypatch):
+    """The peak-major counts equal a direct walk of the bucketed index
+    (database.rs:480-536 semantics via query_fragments)."""
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -120.0, 120.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+    )
+    spectra = _spectra(db, 6, seed=11)
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    scorer = Scorer(db, sp)
+    masses, intens, Pk = scorer._pad_peaks(spectra)
+    prelim = scorer._preliminary(spectra, masses=masses)
+
+    for si, spec in enumerate(spectra):
+        prec = spec.precursors[0]
+        mz = np.float32(np.float32(prec.mz) - PROTON)
+        pm = np.float32(mz * np.float32(prec.charge))
+        lo, hi = sp.precursor_tol.bounds(pm)
+        expected = {}
+        for pk in spec.masses:
+            for z in (1,):
+                q = np.float32(pk * np.float32(z))
+                flo, fhi = sp.fragment_tol.bounds(q)
+                for fi in db.query_fragments(lo, hi, flo, fhi):
+                    pep = int(db.fragment_pep[fi])
+                    expected[pep] = expected.get(pep, 0) + 1
+        got = {
+            int(p): int(m)
+            for p, m, s in zip(
+                prelim["cand_pep"], prelim["cand_matched"], prelim["cand_spec"]
+            )
+            if s == si
+        }
+        # every reported candidate's count must equal the index walk
+        for pep, m in got.items():
+            assert expected.get(pep) == m, (si, pep, m, expected.get(pep))
+        # and the top candidate by (count, pep) is identical
+        if expected:
+            best = max(expected.items(), key=lambda kv: (kv[1], kv[0]))
+            top = max(got.items(), key=lambda kv: (kv[1], kv[0]))
+            assert best == top
