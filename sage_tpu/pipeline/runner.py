@@ -125,13 +125,14 @@ class Runner:
         return [sp.process(s) for s in raw]
 
     def process_file(
-        self, scorer: Scorer, path: str, file_id: int
+        self, scorer: Scorer, path: str, file_id: int, spectra=None
     ) -> Tuple[FeatureTable, list, List[ProcessedSpectrum]]:
         """Read, search and TMT-quantify one file (process_chunk,
         runner.rs:365-375)."""
         p = self.parameters
         t0 = time.monotonic()
-        spectra = self.read_file(path, file_id)
+        if spectra is None:
+            spectra = self.read_file(path, file_id)
         log.info("- file IO: %8d ms", int((time.monotonic() - t0) * 1000))
 
         ms2 = [
@@ -228,11 +229,25 @@ class Runner:
         all_tables = []
         all_quant = []
         all_ms1: List[ProcessedSpectrum] = []
-        for file_id, path in enumerate(p.mzml_paths):
-            feats, quant, ms1 = self.process_file(scorer, path, file_id)
-            all_tables.append(feats)
-            all_quant.extend(quant)
-            all_ms1.extend(ms1)
+        # Prefetch: parse/process the next file on a worker thread while
+        # the device searches the current one (the runner-level analog of
+        # the reference's parallel file reads, runner.rs:415-455).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(self.read_file, p.mzml_paths[0], 0)
+            for file_id, path in enumerate(p.mzml_paths):
+                spectra = fut.result()
+                if file_id + 1 < len(p.mzml_paths):
+                    fut = ex.submit(
+                        self.read_file, p.mzml_paths[file_id + 1], file_id + 1
+                    )
+                feats, quant, ms1 = self.process_file(
+                    scorer, path, file_id, spectra=spectra
+                )
+                all_tables.append(feats)
+                all_quant.extend(quant)
+                all_ms1.extend(ms1)
         features = FeatureTable.concat(all_tables)
 
         alignments = None
