@@ -524,52 +524,6 @@ class Scorer:
 
         return jax.jit(run)
 
-    def _build_stage2(self, Pk: int, N: int):
-        tables = self.tables
-        L = tables.L
-        Z = self.Z
-        frag_tol = self.params.fragment_tol
-        n_series = self.n_series
-
-        def per_item(pkm, pki, pep, maxz):
-            res = tables.resmass[pep]  # [L]
-            ntm = tables.nterm[pep]
-            mono_c = tables.mono[pep]
-            lens_c = tables.lens[pep]
-
-            f = self._ladders(res[None, :], ntm[None], mono_c[None], L)[:, 0, :]  # [S, L]
-            ion_idx = jnp.arange(L, dtype=jnp.int32)
-            n_ions = jnp.maximum(lens_c - 1, 0)
-            fvalid = ion_idx[None, :] < n_ions  # [1?, L] -> broadcast [S, L]
-            fvalid = jnp.broadcast_to(fvalid, (n_series, L))
-
-            out = []
-            for zi in range(Z):
-                z = jnp.float32(zi + 1)
-                mzc = f / z  # [S, L] theoretical m/z at this charge
-                lo, hi = _tol_bounds_jnp(frag_tol, mzc)
-                z_ok = (zi + 1) < maxz
-                ok = fvalid & z_ok
-                inwin = (pkm[None, None, :] >= lo[..., None]) & (
-                    pkm[None, None, :] <= hi[..., None]
-                )  # [S, L, Pk]
-                qual = inwin & (pki[None, None, :] >= 0) & ok[..., None]
-                val = jnp.where(qual, pki[None, None, :], jnp.float32(-1.0))
-                # most intense, ties to the LATER index (spectrum.rs:150-157)
-                rev = val[..., ::-1]
-                ridx = jnp.argmax(rev, axis=-1)
-                best = jnp.take_along_axis(rev, ridx[..., None], axis=-1)[..., 0]
-                idx = (Pk - 1) - ridx
-                out.append(jnp.where(best >= 0, idx, -1).astype(jnp.int32))
-            return jnp.stack(out, axis=-1)  # [S, L, Z]
-
-        def run(peaks_all, inten_all, spec_idx, pep, maxz):
-            pkm = peaks_all[spec_idx]
-            pki = inten_all[spec_idx]
-            return jax.vmap(per_item)(pkm, pki, pep, maxz)
-
-        return jax.jit(run)
-
     def _open_path(self, W: int) -> bool:
         """Use the peak-major open-search path when the candidate window
         is wide enough that per-row ladder scans dominate."""
@@ -625,12 +579,6 @@ class Scorer:
             else:
                 self._stage1_cache[key] = self._build_stage1(W, Pk, R, Z)
         return self._stage1_cache[key]
-
-    def _stage2(self, Pk, N):
-        key = (Pk, N)
-        if key not in self._stage2_cache:
-            self._stage2_cache[key] = self._build_stage2(Pk, N)
-        return self._stage2_cache[key]
 
     def _build_stage2_pallas(self, Pk: int, N: int, Z: int):
         from .pallas_stage2 import stage2_pallas
@@ -1333,31 +1281,6 @@ class Scorer:
         for j0, gi in enumerate(vidx):
             if (float(vm[j0]), float(vi[j0])) in to_remove:
                 removed[si][gi] = True
-
-
-class _Run:
-    """The longest-continuous-ion-ladder tracker (scoring.rs:771-793),
-    including its initial-state quirk (last == 0 swallows index 0)."""
-
-    __slots__ = ("start", "length", "last", "longest")
-
-    def __init__(self):
-        self.start = 0
-        self.length = 0
-        self.last = 0
-        self.longest = 0
-
-    def matched(self, index: int):
-        if self.last == index:
-            return
-        if self.start + self.length == index:
-            self.length += 1
-            self.longest = max(self.longest, self.length)
-        else:
-            self.start = index
-            self.length = 1
-            self.longest = max(self.longest, self.length)
-        self.last = index
 
 
 def _host_ladders(db: IndexedDatabase, pep_indices, series) -> Tuple[np.ndarray, np.ndarray]:
