@@ -166,6 +166,119 @@ def series_valid_mask(lens, L, series, min_ion_index):
     return jnp.stack(masks, axis=0)
 
 
+def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
+    """The full score_candidate computation for ONE candidate
+    (scoring.rs:675-767): per-(fragment, charge) most-intense-peak match,
+    strictly sequential f32 intensity/ppm accumulation in the reference's
+    fragments-iterator order (series, ion, charge), matched counts and
+    longest-run automata.
+
+    f: [S, L] neutral ladders (invalid slots -inf when fvalid is None);
+    pkm/pki: [Pk] peak masses/intensities; maxz: scalar exclusive
+    fragment-charge bound. Returns (mb, my, summed_b, summed_y, ppm_sum,
+    longest_b, longest_y). Shared by the single-device stage 2 and the
+    model-sharded rescore (parallel/sharding.py)."""
+    n_series, L = f.shape
+    is_nterm = np.array([_SERIES_NTERM[k] for k in series], dtype=bool)
+    ion_idx = jnp.arange(L, dtype=jnp.int32)
+
+    matched_l, pkm_l, pki_l, mzs = [], [], [], []
+    for zi in range(Z):
+        z = jnp.float32(zi + 1)
+        mzc = f / z  # [S, L]
+        lo, hi = _tol_bounds_jnp(frag_tol, mzc)
+        z_ok = (zi + 1) < maxz
+        inwin = (pkm[None, None, :] >= lo[..., None]) & (
+            pkm[None, None, :] <= hi[..., None]
+        )  # [S, L, Pk]
+        qual = inwin & (pki[None, None, :] >= 0) & z_ok
+        if fvalid is not None:
+            qual = qual & fvalid[..., None]
+        val = jnp.where(qual, pki[None, None, :], jnp.float32(-1.0))
+        # Most intense in-window peak: a plain lane max gives the
+        # intensity; the matched peak's mass is the max mass among
+        # peaks attaining it — masses ascend with index, so this
+        # reproduces the ties-to-the-LATER-index rule
+        # (spectrum.rs:150-157) without argmax/gather.
+        best = jnp.max(val, axis=-1)  # [S, L]
+        bmass = jnp.max(
+            jnp.where(val == best[..., None], pkm[None, None, :],
+                      jnp.float32(-np.inf)),
+            axis=-1,
+        )
+        m = best >= 0
+        matched_l.append(m)
+        pki_l.append(jnp.where(m, best, jnp.float32(0.0)))
+        pkm_l.append(jnp.where(m, bmass, jnp.float32(0.0)))
+        mzs.append(mzc)
+    matched = jnp.stack(matched_l, axis=-1)  # [S, L, Z]
+    pk_i = jnp.stack(pki_l, axis=-1)
+    pk_m = jnp.stack(pkm_l, axis=-1)
+    mz_c = jnp.stack(mzs, axis=-1)  # [S, L, Z]
+
+    # Per-fragment ppm term, f32 in the reference op order
+    # (scoring.rs:719-720).
+    d = jnp.abs(mz_c - pk_m)
+    denom = mz_c + pk_m
+    ppm_t = jnp.where(
+        matched,
+        ((pk_i * d) * jnp.float32(2e6))
+        / jnp.where(denom == 0, jnp.float32(1.0), denom),
+        jnp.float32(0.0),
+    )
+
+    bm3 = is_nterm[:, None, None]
+    mb = jnp.sum((matched & bm3).astype(jnp.int32))
+    my = jnp.sum((matched & ~bm3).astype(jnp.int32))
+
+    # Strictly-sequential f32 sums in fragments-iterator order
+    # (series, ion, charge). Adding 0.0f is exact, so unmatched
+    # slots can stay in the scan.
+    b_int = jnp.where(bm3, pk_i, 0.0).reshape(-1)
+    y_int = jnp.where(~bm3, pk_i, 0.0).reshape(-1)
+    terms = jnp.stack([b_int, y_int, ppm_t.reshape(-1)], axis=-1)  # [T, 3]
+
+    def add(carry, x):
+        return carry + x, None
+
+    sums, _ = jax.lax.scan(add, jnp.zeros(3, jnp.float32), terms)
+
+    # Longest-run automata (scoring.rs:771-793) — all N-term series
+    # feed one run in series order, all C-term series the other,
+    # reproducing the reference's shared-Run quirks including the
+    # initial last == 0 swallowing ion index 0.
+    m_any = matched.any(axis=-1)  # [S, L]
+
+    def run_scan(flags_and_idx):
+        def step(state, fi):
+            start, length, last, longest = state
+            m, l = fi
+            skip = m & (last == l)
+            extend = m & ~skip & (start + length == l)
+            restart = m & ~skip & ~extend
+            length = jnp.where(extend, length + 1, jnp.where(restart, 1, length))
+            start = jnp.where(restart, l, start)
+            longest = jnp.where(
+                extend | restart, jnp.maximum(longest, length), longest
+            )
+            last = jnp.where(m & ~skip, l, last)
+            return (start, length, last, longest), None
+
+        z0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        (_, _, _, longest), _ = jax.lax.scan(step, z0, flags_and_idx)
+        return longest
+
+    ion_l = jnp.broadcast_to(ion_idx[None, :], (n_series, L))
+    b_flags = m_any[is_nterm].reshape(-1)
+    b_idx = ion_l[is_nterm].reshape(-1)
+    y_flags = m_any[~is_nterm].reshape(-1)
+    y_idx = ion_l[~is_nterm].reshape(-1)
+    lb = run_scan((b_flags, b_idx)) if is_nterm.any() else jnp.int32(0)
+    ly = run_scan((y_flags, y_idx)) if (~is_nterm).any() else jnp.int32(0)
+
+    return mb, my, sums[0], sums[1], sums[2], lb, ly
+
+
 def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
     """Per-candidate matched-peak counts via the rank-difference trick.
 
@@ -395,7 +508,6 @@ class Scorer:
         is_nterm = np.array([_SERIES_NTERM[k] for k in series], dtype=bool)
 
         def per_item(pkm, pki, pep, maxz):
-            ion_idx = jnp.arange(L, dtype=jnp.int32)
             if tables.lad_full is not None:
                 f = tables.lad_full[pep]  # [S, L]; invalid slots are -inf
                 fvalid = None
@@ -406,103 +518,12 @@ class Scorer:
                 lens_c = tables.lens[pep]
                 f = ion_ladders(res[None, :], ntm[None], mono_c[None], series)[:, 0, :]
                 n_ions = jnp.maximum(lens_c - 1, 0)
+                ion_idx = jnp.arange(L, dtype=jnp.int32)
                 fvalid = jnp.broadcast_to(ion_idx[None, :] < n_ions, (n_series, L))
-
-            matched_l, pkm_l, pki_l, mzs = [], [], [], []
-            for zi in range(Z):
-                z = jnp.float32(zi + 1)
-                mzc = f / z  # [S, L]
-                lo, hi = _tol_bounds_jnp(frag_tol, mzc)
-                z_ok = (zi + 1) < maxz
-                inwin = (pkm[None, None, :] >= lo[..., None]) & (
-                    pkm[None, None, :] <= hi[..., None]
-                )  # [S, L, Pk]
-                qual = inwin & (pki[None, None, :] >= 0) & z_ok
-                if fvalid is not None:
-                    qual = qual & fvalid[..., None]
-                val = jnp.where(qual, pki[None, None, :], jnp.float32(-1.0))
-                # Most intense in-window peak: a plain lane max gives the
-                # intensity; the matched peak's mass is the max mass among
-                # peaks attaining it — masses ascend with index, so this
-                # reproduces the ties-to-the-LATER-index rule
-                # (spectrum.rs:150-157) without argmax/gather.
-                best = jnp.max(val, axis=-1)  # [S, L]
-                bmass = jnp.max(
-                    jnp.where(val == best[..., None], pkm[None, None, :],
-                              jnp.float32(-np.inf)),
-                    axis=-1,
-                )
-                m = best >= 0
-                matched_l.append(m)
-                pki_l.append(jnp.where(m, best, jnp.float32(0.0)))
-                pkm_l.append(jnp.where(m, bmass, jnp.float32(0.0)))
-                mzs.append(mzc)
-            matched = jnp.stack(matched_l, axis=-1)  # [S, L, Z]
-            pk_i = jnp.stack(pki_l, axis=-1)
-            pk_m = jnp.stack(pkm_l, axis=-1)
-            mz_c = jnp.stack(mzs, axis=-1)  # [S, L, Z]
-
-            # Per-fragment ppm term, f32 in the reference op order
-            # (scoring.rs:719-720).
-            d = jnp.abs(mz_c - pk_m)
-            denom = mz_c + pk_m
-            ppm_t = jnp.where(
-                matched,
-                ((pk_i * d) * jnp.float32(2e6))
-                / jnp.where(denom == 0, jnp.float32(1.0), denom),
-                jnp.float32(0.0),
+            return rescore_candidate(
+                f, fvalid, pkm, pki, maxz,
+                series=series, frag_tol=frag_tol, Z=Z,
             )
-
-            bm3 = is_nterm[:, None, None]
-            mb = jnp.sum((matched & bm3).astype(jnp.int32))
-            my = jnp.sum((matched & ~bm3).astype(jnp.int32))
-
-            # Strictly-sequential f32 sums in fragments-iterator order
-            # (series, ion, charge). Adding 0.0f is exact, so unmatched
-            # slots can stay in the scan.
-            b_int = jnp.where(bm3, pk_i, 0.0).reshape(-1)
-            y_int = jnp.where(~bm3, pk_i, 0.0).reshape(-1)
-            terms = jnp.stack([b_int, y_int, ppm_t.reshape(-1)], axis=-1)  # [T, 3]
-
-            def add(carry, x):
-                return carry + x, None
-
-            sums, _ = jax.lax.scan(add, jnp.zeros(3, jnp.float32), terms)
-
-            # Longest-run automata (scoring.rs:771-793) — all N-term series
-            # feed one run in series order, all C-term series the other,
-            # reproducing the reference's shared-Run quirks including the
-            # initial last == 0 swallowing ion index 0.
-            m_any = matched.any(axis=-1)  # [S, L]
-
-            def run_scan(flags_and_idx):
-                def step(state, fi):
-                    start, length, last, longest = state
-                    m, l = fi
-                    skip = m & (last == l)
-                    extend = m & ~skip & (start + length == l)
-                    restart = m & ~skip & ~extend
-                    length = jnp.where(extend, length + 1, jnp.where(restart, 1, length))
-                    start = jnp.where(restart, l, start)
-                    longest = jnp.where(
-                        extend | restart, jnp.maximum(longest, length), longest
-                    )
-                    last = jnp.where(m & ~skip, l, last)
-                    return (start, length, last, longest), None
-
-                z0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
-                (_, _, _, longest), _ = jax.lax.scan(step, z0, flags_and_idx)
-                return longest
-
-            ion_l = jnp.broadcast_to(ion_idx[None, :], (n_series, L))
-            b_flags = m_any[is_nterm].reshape(-1)
-            b_idx = ion_l[is_nterm].reshape(-1)
-            y_flags = m_any[~is_nterm].reshape(-1)
-            y_idx = ion_l[~is_nterm].reshape(-1)
-            lb = run_scan((b_flags, b_idx)) if is_nterm.any() else jnp.int32(0)
-            ly = run_scan((y_flags, y_idx)) if (~is_nterm).any() else jnp.int32(0)
-
-            return mb, my, sums[0], sums[1], sums[2], lb, ly
 
         def run(peaks_dev, ints):
             # peaks_dev: [2, S, Pk] (masses, intensities); ints: [3, N] i32

@@ -230,3 +230,127 @@ class ShardedSearch:
         if key not in self._fn_cache:
             self._fn_cache[key] = self._build(R, Pk)
         return self._fn_cache[key](peaks, prec_lo, prec_hi, maxz)
+
+    # ------------------------------------------------------------------
+    # Full sharded search step (stage 1 + stage 2)
+    # ------------------------------------------------------------------
+
+    def _build_full(self, R: int, Pk: int):
+        """One jitted device program: sharded preliminary scoring, global
+        top-K merge, then the full candidate rescore with OWNER-COMPUTES
+        sharding — each model shard rescores only the top-K candidates
+        whose peptide rows it holds (its ladders are local) and a psum
+        over "model" assembles the complete per-candidate features. The
+        per-candidate sequential f32 sums run entirely on the owning
+        shard, so results are bit-identical to the single-device stage 2
+        for any mesh shape."""
+        from ..ops.search import rescore_candidate
+
+        mesh = self.mesh
+        tables = self.tables
+        series = self.series
+        frag_tol = self.frag_tol
+        Z = self.Z
+        K = self.K
+        n_model = mesh.shape["model"]
+        P_local = tables.P_pad // n_model
+        L = tables.L
+        stage1 = None  # built inline below to share one shard_map
+
+        def local_shard(
+            peaks, intens, prec_lo, prec_hi, maxz,
+            resmass, nterm, mono, lens,
+        ):
+            shard_id = jax.lax.axis_index("model")
+            base = shard_id.astype(jnp.int32) * P_local
+
+            f_all = ion_ladders(resmass, nterm, mono, series)  # [S, P_l, L]
+            fvalid_idx = series_valid_mask(lens, L, series, self.min_ion_index)
+
+            def per_row(pk, lo, hi, mz):
+                counts = count_fragment_matches(
+                    f_all, fvalid_idx, pk, frag_tol, mz, Z
+                )
+                in_window = (mono >= lo) & (mono <= hi)
+                counts = jnp.where(in_window, counts, 0)
+                rev = counts[::-1]
+                k = min(K, P_local)
+                vals, ridx = jax.lax.top_k(rev, k)
+                pep = base + (P_local - 1 - ridx)
+                if k < K:
+                    vals = jnp.pad(vals, (0, K - k))
+                    pep = jnp.pad(pep, (0, K - k), constant_values=-1)
+                return vals, pep
+
+            vals, pep = jax.vmap(per_row)(peaks, prec_lo, prec_hi, maxz)
+            allv = jax.lax.all_gather(vals, "model", axis=1, tiled=True)
+            allp = jax.lax.all_gather(pep, "model", axis=1, tiled=True)
+            sc, sp = jax.lax.sort((-allv, -allp), dimension=1, num_keys=2)
+            gvals = -sc[:, :K]
+            gpep = -sp[:, :K]
+
+            # ---- stage 2, owner-computes: full (non-index-filtered)
+            # ladders for candidates this shard owns
+            ion_idx = jnp.arange(L, dtype=jnp.int32)
+
+            def item(pk, pki_row, pep_g, mz, has):
+                owned = (pep_g >= base) & (pep_g < base + P_local) & has
+                lp = jnp.clip(pep_g - base, 0, P_local - 1)
+                f = ion_ladders(
+                    resmass[lp][None, :], nterm[lp][None], mono[lp][None],
+                    series,
+                )[:, 0, :]
+                n_ions = jnp.maximum(lens[lp] - 1, 0)
+                fvalid = jnp.broadcast_to(
+                    ion_idx[None, :] < n_ions, (len(series), L)
+                )
+                out = rescore_candidate(
+                    f, fvalid, pk, pki_row, mz,
+                    series=series, frag_tol=frag_tol, Z=Z,
+                )
+                return tuple(
+                    jnp.where(owned, o.astype(jnp.float32), jnp.float32(0.0))
+                    for o in out
+                )
+
+            def row_items(pk, pki_row, peps, mz, vals_row):
+                return jax.vmap(
+                    lambda pg, hv: item(pk, pki_row, pg, mz, hv > 0)
+                )(peps, vals_row)
+
+            feats = jax.vmap(row_items)(
+                peaks, intens, gpep, maxz, gvals
+            )  # tuple of [R_l, K]
+            feats = tuple(jax.lax.psum(x, "model") for x in feats)
+            return (gvals, gpep) + feats
+
+        fn = shard_map(
+            local_shard,
+            mesh=mesh,
+            in_specs=(
+                P("data", None), P("data", None),
+                P("data"), P("data"), P("data"),
+                P("model", None), P("model"), P("model"), P("model"),
+            ),
+            out_specs=(P("data", None),) * 9,
+            check_vma=False,
+        )
+
+        def run(peaks, intens, prec_lo, prec_hi, maxz):
+            return fn(
+                peaks, intens, prec_lo, prec_hi, maxz,
+                self.tables.resmass, self.tables.nterm,
+                self.tables.mono, self.tables.lens,
+            )
+
+        return jax.jit(run)
+
+    def full_step(self, peaks, intens, prec_lo, prec_hi, maxz):
+        """Complete sharded search step. Returns (counts [R, K],
+        peptide [R, K], mb, my, summed_b, summed_y, ppm_sum, longest_b,
+        longest_y — each f32 [R, K])."""
+        R, Pk = peaks.shape
+        key = ("full", R, Pk)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build_full(R, Pk)
+        return self._fn_cache[key](peaks, intens, prec_lo, prec_hi, maxz)

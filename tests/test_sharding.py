@@ -75,3 +75,72 @@ def test_sharded_counts_match_reference_query(db, queries):
             hits = db.query_fragments(lo[r], hi[r], flo, fhi)
             count += int((db.fragment_pep[hits] == pep[r, 0]).sum())
         assert count == vals[r, 0]
+
+
+def _run_full(db, queries, n_data, n_model):
+    import jax
+
+    if len(jax.devices()) < n_data * n_model:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_data, n_model)
+    ss = ShardedSearch(db, mesh, Tolerance("ppm", -10.0, 10.0), Z=1, K=50)
+    peaks, lo, hi, maxz = queries
+    rng = np.random.default_rng(7)
+    intens = np.where(
+        np.isfinite(peaks), rng.uniform(1.0, 1e4, peaks.shape), -1.0
+    ).astype(np.float32)
+    return tuple(
+        np.asarray(x) for x in ss.full_step(peaks, intens, lo, hi, maxz)
+    )
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_full_step_mesh_invariant(db, queries, shape):
+    """The owner-computes sharded stage 2 (psum merge) is bitwise
+    identical across mesh shapes, including the (1, 1)-equivalent."""
+    ref = _run_full(db, queries, 1, 1)
+    got = _run_full(db, queries, *shape)
+    names = ["counts", "pep", "mb", "my", "sb", "sy", "ppm", "lb", "ly"]
+    for name, r, g in zip(names, ref, got):
+        np.testing.assert_array_equal(r, g, err_msg=name)
+
+
+def test_full_step_matches_scorer_stage2(db, queries):
+    """The sharded rescore equals the single-device stage-2 program for
+    the same (spectrum, candidate) items."""
+    import jax.numpy as jnp
+
+    from sage_tpu.chem.mass import Tolerance as Tol
+    from sage_tpu.ops.search import Scorer, SearchParams, _pad_count
+
+    peaks, lo, hi, maxz = queries
+    out = _run_full(db, queries, 1, 1)
+    counts, pep = out[0], out[1]
+    sp = SearchParams(
+        precursor_tol=Tol("da", -0.01, 0.01),
+        fragment_tol=Tol("ppm", -10.0, 10.0),
+        max_precursor_charge=2,
+    )
+    scorer = Scorer(db, sp)
+    rng = np.random.default_rng(7)
+    intens = np.where(
+        np.isfinite(peaks), rng.uniform(1.0, 1e4, peaks.shape), -1.0
+    ).astype(np.float32)
+    peaks_dev = jnp.asarray(np.stack([peaks, intens]))
+    # flatten the (row, k) candidates with counts > 0
+    rows, ks = np.nonzero(counts > 0)
+    nI = rows.size
+    N = _pad_count(nI)
+    spec_idx = np.zeros(N, np.int32)
+    pep_idx = np.zeros(N, np.int32)
+    mz = np.full(N, 2, np.int32)
+    spec_idx[:nI] = rows
+    pep_idx[:nI] = pep[rows, ks]
+    fn = scorer._stage2_compact(peaks.shape[1], N, 1)
+    got = np.asarray(
+        fn(peaks_dev, jnp.asarray(np.stack([spec_idx, pep_idx, mz])))
+    )[:nI]
+    want = np.stack(
+        [out[2 + j][rows, ks] for j in range(7)], axis=1
+    ).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
