@@ -79,13 +79,14 @@ def max_fragment_charge(cfg: Optional[int], precursor_charge: int) -> int:
 
 
 def _pad_count(n: int) -> int:
-    """Batch-axis padding: powers of two up to 8192, then multiples of 8192.
-    Bounds both the number of compiled executables and the padding waste
-    (next_power_of_two alone wastes up to 2x at large batch sizes)."""
+    """Batch-axis padding: powers of two up to 2048, then multiples of
+    2048. Bounds both the number of compiled executables (a few dozen at
+    most) and the padding waste (next_power_of_two alone wastes up to 2x
+    at large batch sizes — directly visible in stage-2 exec time)."""
     n = max(n, 8)
-    if n <= 8192:
+    if n <= 2048:
         return next_power_of_two(n)
-    return ((n + 8191) // 8192) * 8192
+    return ((n + 2047) // 2048) * 2048
 
 
 @dataclasses.dataclass
@@ -732,15 +733,22 @@ class Scorer:
         }
 
     def _pad_peaks(self, spectra: Sequence[ProcessedSpectrum]):
-        Pk = max(max((len(s) for s in spectra), default=1), 1)
-        Pk = int(np.ceil(Pk / 32) * 32)
         S = len(spectra)
+        lens = np.fromiter(
+            (len(s) for s in spectra), dtype=np.int64, count=S
+        )
+        Pk = int(max(lens.max() if S else 1, 1))
+        Pk = int(np.ceil(Pk / 32) * 32)
         masses = np.full((S, Pk), np.inf, dtype=np.float32)
         intens = np.full((S, Pk), -1.0, dtype=np.float32)
-        for i, s in enumerate(spectra):
-            n = len(s)
-            masses[i, :n] = s.masses
-            intens[i, :n] = s.intensities
+        if S:
+            rows = np.repeat(np.arange(S), lens)
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
+            masses[rows, cols] = np.concatenate([s.masses for s in spectra])
+            intens[rows, cols] = np.concatenate(
+                [s.intensities for s in spectra]
+            )
         return masses, intens, Pk
 
     def score(self, spectra: Sequence[ProcessedSpectrum]) -> List[Feature]:
@@ -781,9 +789,8 @@ class Scorer:
             for batch in batches:
                 yield self.score_table(batch)
             return
-        from collections import deque
 
-        pend = deque()
+        import os
 
         def admit(batch):
             masses, intens, Pk = self._pad_peaks(batch)
@@ -801,6 +808,7 @@ class Scorer:
             e["d2"] = self._stage2_dispatch(
                 e["prelim"], e["intens"], e["Pk"], peaks_dev=e["peaks_dev"],
             )
+            return e
 
         def finish(e):
             return self._stage2_finalize(
@@ -808,10 +816,61 @@ class Scorer:
                 None, e["masses"], e["Pk"],
             )
 
-        import os
+        # Threaded pipeline is opt-in: it overlaps the two blocking fetch
+        # round trips across batches (device_get releases the GIL), which
+        # wins on multi-core hosts behind high-latency links, but on a
+        # single-core host the worker thread contends with the main
+        # thread's numpy work and loses ~40%.
+        threads_default = "1" if (os.cpu_count() or 1) >= 4 else "0"
+        if os.environ.get("SAGE_TPU_STREAM_THREADS", threads_default) != "0":
+            import queue as _q
+            from concurrent.futures import ThreadPoolExecutor
 
-        # A = batches admitted ahead of an entry before its stage-1 fetch;
-        # deeper pipelines hide more link jitter at the cost of memory.
+            q1: "_q.Queue" = _q.Queue(maxsize=2)
+            # q2 unbounded so the worker can never block on put (in-flight
+            # work is bounded by q1's maxsize); a blocked worker would
+            # deadlock executor shutdown if the consumer exits early.
+            q2: "_q.Queue" = _q.Queue()
+            _END = object()
+
+            def worker_advance():
+                while True:
+                    e = q1.get()
+                    if e is _END:
+                        q2.put(_END)
+                        return
+                    try:
+                        q2.put(e if e.get("empty") else advance(e))
+                    except BaseException as exc:  # propagate to consumer
+                        q2.put(exc)
+                        return
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                ex.submit(worker_advance)
+                it = iter(batches)
+                done_feeding = False
+                while True:
+                    # feed admits until q1 is full or input exhausted
+                    while not done_feeding and not q1.full():
+                        try:
+                            batch = next(it)
+                        except StopIteration:
+                            done_feeding = True
+                            q1.put(_END)
+                            break
+                        q1.put({"empty": True} if not batch else admit(batch))
+                    e = q2.get()
+                    if e is _END:
+                        break
+                    if isinstance(e, BaseException):
+                        raise e
+                    yield FeatureTable.empty() if e.get("empty") else finish(e)
+            return
+
+        # single-threaded fallback: sliding window of depth A
+        from collections import deque
+
+        pend = deque()
         A = int(os.environ.get("SAGE_TPU_PIPELINE_DEPTH", "2"))
         for batch in batches:
             if not batch:
