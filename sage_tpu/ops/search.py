@@ -409,7 +409,9 @@ class Scorer:
             for z in range(1, params.max_precursor_charge + 1)
         )
         self.Z = max(zmax - 1, 1)
-        self.K = 50  # trim_hits K-select bound (scoring.rs:322-329)
+        # trim_hits K-select bound (scoring.rs:311-329): top-50 by matched
+        # count, widened to 2x report_psms when more PSMs are requested
+        self.K = max(50, params.report_psms * 2)
         self._stage1_cache: Dict[Tuple[int, int, int], object] = {}
         self._stage2_cache: Dict[Tuple[int, int], object] = {}
         self._psm_counter = 1

@@ -132,3 +132,14 @@ def test_score_stream_matches_score_table(golden_setup):
             np.testing.assert_array_equal(
                 st.columns[k], tt.columns[k], err_msg=f"column {k}"
             )
+
+
+def test_trim_hits_k_widens_with_report_psms(golden_setup):
+    """trim_hits keeps max(50, 2*report_psms) candidates
+    (scoring.rs:311-329), so report_psms > 25 widens the K-select."""
+    import dataclasses
+
+    db, params, spectra = golden_setup
+    assert Scorer(db, params).K == 50
+    wide = dataclasses.replace(params, report_psms=40)
+    assert Scorer(db, wide).K == 80
