@@ -11,3 +11,38 @@ peptide table.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "DatabaseParams",
+    "IndexedDatabase",
+    "Scorer",
+    "SearchParams",
+    "Runner",
+    "build_search",
+    "load_config",
+    "save_database",
+    "load_database",
+]
+
+
+def __getattr__(name):
+    # Lazy re-exports: importing sage_tpu stays cheap (no jax import)
+    # until a search-facing symbol is touched — the sagepy-style Python
+    # API surface (README "Library boundary").
+    if name in ("DatabaseParams", "IndexedDatabase", "save_database", "load_database"):
+        from .index import builder
+
+        return getattr(builder, name)
+    if name in ("Scorer", "SearchParams"):
+        from .ops import search
+
+        return getattr(search, name)
+    if name == "Runner":
+        from .pipeline.runner import Runner
+
+        return Runner
+    if name in ("build_search", "load_config"):
+        from .pipeline import input as _input
+
+        return getattr(_input, name)
+    raise AttributeError(name)

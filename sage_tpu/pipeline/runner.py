@@ -237,11 +237,18 @@ class Runner:
         with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(self.read_file, p.mzml_paths[0], 0)
             for file_id, path in enumerate(p.mzml_paths):
-                spectra = fut.result()
+                try:
+                    spectra = fut.result()
+                except Exception as e:  # noqa: BLE001
+                    # a failed read skips the file (runner.rs:429-438)
+                    log.error("error parsing %s: %s", path, e)
+                    spectra = None
                 if file_id + 1 < len(p.mzml_paths):
                     fut = ex.submit(
                         self.read_file, p.mzml_paths[file_id + 1], file_id + 1
                     )
+                if spectra is None:
+                    continue
                 feats, quant, ms1 = self.process_file(
                     scorer, path, file_id, spectra=spectra
                 )
