@@ -32,6 +32,9 @@ OBJECT_STORE_SCHEMES = (
     "abfss", "http", "https",
 )
 
+# NOTE: "ms2" and "raw" intentionally lack the dot — parity with the
+# reference's BRUKER_EXTENSIONS (util.rs:45-57), which matches any path
+# ENDING in those letters.
 BRUKER_EXTENSIONS = (".d", ".tdf", ".tdf_bin", "ms2", "raw")
 
 
@@ -163,6 +166,15 @@ def read_spectra(
     """Extension-dispatched spectrum reading (util.rs:59-72)."""
     fmt = file_format(path)
     if fmt == "mzml":
+        scheme, loc = to_url(path)
+        if scheme == "file":
+            # within-file parallel parsing (self-gates to serial on small
+            # files / single-core hosts)
+            from .mzml import read_mzml_parallel
+
+            return read_mzml_parallel(
+                loc, file_id=file_id, signal_to_noise=signal_to_noise
+            )
         from .mzml import MzMLReader
 
         reader = MzMLReader(file_id=file_id, signal_to_noise=signal_to_noise)

@@ -103,15 +103,13 @@ def _zstd_decompress(data: bytes) -> bytes:
         size = _zstd_frame_content_size(data)
         if size is not None:
             return codec.decompress(data, decompressed_size=size).to_pybytes()
-        # content size not recorded: grow the guess until it fits
-        guess = max(len(data) * 8, 1 << 16)
-        while guess <= (1 << 31):
-            try:
-                return codec.decompress(
-                    data, decompressed_size=guess
-                ).to_pybytes()
-            except Exception:
-                guess *= 4
+        # pyarrow's zstd requires the exact decompressed size; without a
+        # content size in the frame header it cannot decode this frame
+        raise RuntimeError(
+            "this .d frame's zstd header omits the content size; pyarrow's "
+            "codec needs it — install the 'zstandard' package to read "
+            "this file"
+        )
     except ImportError:
         pass
     raise RuntimeError(
@@ -225,13 +223,11 @@ class TdfReader:
             groups = by_precursor.get(int(pid))
             if not groups:
                 continue
-            tof_acc: Dict[int, float] = {}
+            sel_tofs, sel_ints = [], []
             rt = 0.0
             iso_mz = iso_w = 0.0
             n_scans_parent = 1
-            for frame, s0, s1, imz, iw, in_ in [
-                (f, a, b, m, w, None) for (f, a, b, m, w) in groups
-            ]:
+            for frame, s0, s1, imz, iw in groups:
                 info = frame_info.get(frame)
                 if info is None or frame not in decoded:
                     continue
@@ -239,15 +235,21 @@ class TdfReader:
                 iso_mz, iso_w = imz, iw
                 scans, tofs, intens = decoded[frame]
                 sel = (scans >= s0) & (scans < s1)
-                for t, i in zip(tofs[sel], intens[sel]):
-                    tof_acc[int(t)] = tof_acc.get(int(t), 0.0) + float(i)
-            if not tof_acc:
+                sel_tofs.append(tofs[sel])
+                sel_ints.append(intens[sel])
+            if not sel_tofs:
                 continue
-            tof_idx = np.array(sorted(tof_acc), dtype=np.int64)
+            all_tofs = np.concatenate(sel_tofs)
+            if all_tofs.size == 0:
+                continue
+            all_ints = np.concatenate(sel_ints)
+            # group equal TOF indices, summing intensity (vectorized)
+            tof_idx, inv = np.unique(all_tofs, return_inverse=True)
             mz = mz_conv.to_mz(tof_idx)
-            intensity = np.array(
-                [tof_acc[int(t)] for t in tof_idx], dtype=np.float32
-            )
+            intensity = np.bincount(
+                inv, weights=all_ints.astype(np.float64),
+                minlength=tof_idx.size,
+            ).astype(np.float32)
             im_conv = ScanImConverter(im_lo, im_hi, n_scans_parent)
             prec_mz = mono_mz if mono_mz else lp_mz
             precursor = Precursor(

@@ -178,9 +178,10 @@ class OpenSearcher:
         starts, lens = self.ranges(masses, Zb)
         totals = lens.reshape(masses.shape[0], -1).sum(axis=1)
         # F strictly greater than any spectrum's total so trailing empty
-        # windows scatter their offset deltas past the last real entry
+        # windows scatter their offset deltas past the last real entry;
+        # also at least K so the per-row top_k never exceeds the axis
         F = int(max(totals.max(), 1)) + 1
-        F = max(((F + 127) // 128) * 128, 128)
+        F = max(((F + 127) // 128) * 128, ((self.K + 127) // 128) * 128, 128)
         n_rows = rows["si"].size
         row_spec = np.zeros(R, np.int32)
         row_i0 = np.zeros(R, np.int32)

@@ -39,20 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .search import tol_bounds_static as _tol_bounds
+
 G = 8  # query rows per grid step
-
-
-def _bounds(kind: str, lo: float, hi: float, q):
-    """Tolerance.bounds with the reference's f32 op order (mass.rs:21-35)."""
-    lo = jnp.float32(lo)
-    hi = jnp.float32(hi)
-    if kind == "ppm":
-        s = jnp.float32(1e6)
-        return q + (q * lo) / s, q + (q * hi) / s
-    if kind == "pct":
-        s = jnp.float32(100.0)
-        return q + (q * lo) / s, q + (q * hi) / s
-    return q + lo, q + hi
 
 
 def _kernel(
@@ -105,7 +94,7 @@ def _kernel(
         for zi in range(Z):
             z = jnp.float32(zi + 1)
             q = pk_col * z
-            lo_q, hi_q = _bounds(kind, tlo, thi, q)
+            lo_q, hi_q = _tol_bounds(kind, tlo, thi, q)
             if zi > 0:
                 # plane active only below the row's fragment-charge bound;
                 # +inf bounds match no finite fragment

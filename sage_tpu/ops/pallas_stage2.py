@@ -35,19 +35,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .search import tol_bounds_static as _tol_bounds
+
 G2 = 32  # items per grid step
-
-
-def _bounds(kind: str, lo: float, hi: float, q):
-    lo = jnp.float32(lo)
-    hi = jnp.float32(hi)
-    if kind == "ppm":
-        s = jnp.float32(1e6)
-        return q + (q * lo) / s, q + (q * hi) / s
-    if kind == "pct":
-        s = jnp.float32(100.0)
-        return q + (q * lo) / s, q + (q * hi) / s
-    return q + lo, q + hi
 
 
 def _kernel(
@@ -77,7 +67,7 @@ def _kernel(
         for zi in range(Z):
             z = jnp.float32(zi + 1)
             mzc = f_col / z                          # [SLp, 1]
-            lo, hi = _bounds(kind, tlo, thi, mzc)
+            lo, hi = _tol_bounds(kind, tlo, thi, mzc)
             inwin = (pk_row >= lo) & (pk_row <= hi)  # [SLp, Pk]
             qual = inwin & (pi_row >= 0)
             if zi > 0:

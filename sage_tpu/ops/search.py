@@ -109,15 +109,24 @@ class SearchParams:
     score_type: str = SAGE_HYPERSCORE
 
 
-def _tol_bounds_jnp(tol: Tolerance, center):
-    """Tolerance.bounds as traced f32 ops with the reference's op order."""
-    lo = jnp.float32(tol.lo)
-    hi = jnp.float32(tol.hi)
-    if tol.kind == "ppm":
-        return center + (center * lo) / jnp.float32(1e6), center + (center * hi) / jnp.float32(1e6)
-    if tol.kind == "pct":
-        return center + (center * lo) / jnp.float32(100.0), center + (center * hi) / jnp.float32(100.0)
+def tol_bounds_static(kind: str, lo: float, hi: float, center):
+    """Tolerance.bounds as traced f32 ops with the reference's op order
+    (mass.rs:21-35). The single traced implementation shared by the XLA
+    stages and both Pallas kernels, so the bit-identical guarantee has
+    one definition."""
+    lo = jnp.float32(lo)
+    hi = jnp.float32(hi)
+    if kind == "ppm":
+        s = jnp.float32(1e6)
+        return center + (center * lo) / s, center + (center * hi) / s
+    if kind == "pct":
+        s = jnp.float32(100.0)
+        return center + (center * lo) / s, center + (center * hi) / s
     return center + lo, center + hi
+
+
+def _tol_bounds_jnp(tol: Tolerance, center):
+    return tol_bounds_static(tol.kind, tol.lo, tol.hi, center)
 
 
 def ion_ladders(res, ntm, mono, series):
@@ -845,49 +854,68 @@ class Scorer:
                         q2.put(e if e.get("empty") else advance(e))
                     except BaseException as exc:  # propagate to consumer
                         q2.put(exc)
+                        q2.put(_END)  # so the consumer's drain terminates
                         return
 
             with ThreadPoolExecutor(max_workers=1) as ex:
                 ex.submit(worker_advance)
                 it = iter(batches)
                 done_feeding = False
-                while True:
-                    # feed admits until q1 is full or input exhausted
-                    while not done_feeding and not q1.full():
-                        try:
-                            batch = next(it)
-                        except StopIteration:
-                            done_feeding = True
-                            q1.put(_END)
+                try:
+                    while True:
+                        # feed admits until q1 is full or input exhausted
+                        while not done_feeding and not q1.full():
+                            try:
+                                batch = next(it)
+                            except StopIteration:
+                                done_feeding = True
+                                q1.put(_END)
+                                break
+                            q1.put(
+                                {"empty": True} if not batch else admit(batch)
+                            )
+                        e = q2.get()
+                        if e is _END:
                             break
-                        q1.put({"empty": True} if not batch else admit(batch))
-                    e = q2.get()
-                    if e is _END:
-                        break
-                    if isinstance(e, BaseException):
-                        raise e
-                    yield FeatureTable.empty() if e.get("empty") else finish(e)
+                        if isinstance(e, BaseException):
+                            raise e
+                        yield FeatureTable.empty() if e.get("empty") else finish(e)
+                finally:
+                    # On ANY early exit (consumer exception, GeneratorExit
+                    # from an abandoned generator) the worker must be
+                    # released or executor shutdown hangs: q2 is unbounded
+                    # so the worker never blocks on put — a trailing _END
+                    # always reaches it, and draining q2 confirms exit.
+                    if not done_feeding:
+                        done_feeding = True
+                        q1.put(_END)
+                        while q2.get() is not _END:
+                            pass
             return
 
-        # single-threaded fallback: sliding window of depth A
+        # single-threaded fallback: sliding window of depth A. Empty
+        # batches flow through `pend` as markers so results stay in
+        # 1:1 input order.
         from collections import deque
+
+        def finish_any(e):
+            return FeatureTable.empty() if e.get("empty") else finish(e)
 
         pend = deque()
         A = int(os.environ.get("SAGE_TPU_PIPELINE_DEPTH", "2"))
         for batch in batches:
-            if not batch:
-                yield FeatureTable.empty()
-                continue
-            pend.append(admit(batch))
+            pend.append({"empty": True} if not batch else admit(batch))
             if len(pend) >= A + 1:
-                advance(pend[-(A + 1)])  # oldest un-advanced entry
+                e = pend[-(A + 1)]  # oldest un-advanced entry
+                if not e.get("empty"):
+                    advance(e)
             if len(pend) >= A + 2:
-                yield finish(pend.popleft())
+                yield finish_any(pend.popleft())
         for e in pend:
-            if e["d2"] is None:
+            if not e.get("empty") and e["d2"] is None:
                 advance(e)
         while pend:
-            yield finish(pend.popleft())
+            yield finish_any(pend.popleft())
 
     def _preliminary(self, spectra, masses=None, peaks_dev=None):
         return self._prelim_finalize(

@@ -235,7 +235,10 @@ class Runner:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(self.read_file, p.mzml_paths[0], 0)
+            if not p.mzml_paths:
+                fut = None
+            else:
+                fut = ex.submit(self.read_file, p.mzml_paths[0], 0)
             for file_id, path in enumerate(p.mzml_paths):
                 try:
                     spectra = fut.result()
