@@ -232,29 +232,199 @@ class MzMLReader:
         return spectra
 
 
+def _decode_binary_c(lib, fptr, data, off, length, is_zlib, is_f64):
+    """base64 -> (zlib) -> f32 via the native decoder; None on failure.
+    ``lib``/``fptr`` are hoisted by the caller (per-call ctypes lookups
+    cost more than the decode for small arrays)."""
+    if length == 0:
+        return np.zeros(0, np.float32)
+    cap = max((length * 3) // 4, 1024)
+    for _ in range(4):
+        out = np.empty(cap, np.float32)
+        n = lib.mzml_decode_binary(
+            data, off, length, int(is_zlib), int(is_f64),
+            fptr(out), cap,
+        )
+        if n >= 0:
+            # copy so the (possibly over-sized) scratch buffer is freed
+            return out[:n].copy()
+        if n == -2:
+            cap *= 4
+            continue
+        return None
+    return None
+
+
+def parse_fast(
+    data: bytes,
+    file_id: int = 0,
+    signal_to_noise: Optional[int] = None,
+    ms_level: Optional[int] = None,
+) -> Optional[List[RawSpectrum]]:
+    """C fast path: the native single-pass scanner (native/mzml_scan.c)
+    extracts the XML structure ~5-10x faster than the event walk; this
+    wrapper applies exactly the Python parser's semantics (unit
+    conversion, TIC==0 skip, S/N division, precursor assembly) and
+    decodes binary payloads via the C-backed stdlib. Returns None when
+    the native library is unavailable or the scanner bailed."""
+    import ctypes
+
+    from ..native import _load, mzml_scan
+
+    recs = mzml_scan(data)
+    if recs is None:
+        return None
+    lib = _load()
+    has_c_decode = bool(lib) and hasattr(lib, "mzml_decode_binary")
+
+    def fptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    spectra: List[RawSpectrum] = []
+    for r in recs:
+        if r["skip"]:
+            continue
+        level = int(r["ms_level"])
+        if ms_level is not None and level != ms_level:
+            continue
+        if r["sst_unit"] == -1:
+            raise MzMLError("malformed MzML: unknown scan time unit")
+        sst = float(r["sst"]) / 60.0 if r["sst_unit"] == 1 else float(r["sst"])
+        precursors: List[Precursor] = []
+        for pi in range(int(r["n_prec"])):
+            iso = None
+            if r["p_has_lo"][pi] and r["p_has_hi"][pi]:
+                iso = Tolerance(
+                    "da", -float(r["p_iso_lo"][pi]), float(r["p_iso_hi"][pi])
+                )
+            ref = None
+            if r["p_ref_len"][pi]:
+                ref = data[
+                    int(r["p_ref_off"][pi]) : int(r["p_ref_off"][pi])
+                    + int(r["p_ref_len"][pi])
+                ].decode()
+            precursors.append(
+                Precursor(
+                    mz=float(r["p_mz"][pi]),
+                    intensity=(
+                        float(r["p_int"][pi]) if r["p_has_int"][pi] else None
+                    ),
+                    charge=(
+                        int(r["p_charge"][pi])
+                        if r["p_charge"][pi] >= 0
+                        else None
+                    ),
+                    spectrum_ref=ref,
+                    isolation_window=iso,
+                    inverse_ion_mobility=(
+                        float(r["p_im"][pi]) if r["p_has_im"][pi] else None
+                    ),
+                )
+            )
+        mz = np.zeros(0, np.float32)
+        intensity = np.zeros(0, np.float32)
+        noise = np.zeros(0, np.float32)
+        for ai in range(int(r["n_arr"])):
+            alen = int(r["a_len"][ai])
+            aoff = int(r["a_off"][ai])
+            arr = None
+            if has_c_decode:
+                arr = _decode_binary_c(
+                    lib, fptr, data, aoff, alen,
+                    bool(r["a_zlib"][ai]), bool(r["a_f64"][ai]),
+                )
+            if arr is None:  # C decode failed: stdlib path
+                raw = data[aoff : aoff + alen].strip()
+                if not raw:
+                    continue
+                decoded = base64.b64decode(raw)
+                if r["a_zlib"][ai]:
+                    decoded = zlib.decompress(decoded)
+                if r["a_f64"][ai]:
+                    arr = np.frombuffer(decoded, dtype="<f8").astype(np.float32)
+                else:
+                    nb = len(decoded) - (len(decoded) % 4)
+                    arr = np.frombuffer(decoded[:nb], dtype="<f4").copy()
+            kind = int(r["a_kind"][ai])
+            if kind == 0:
+                mz = arr
+            elif kind == 1:
+                intensity = arr
+            elif kind == 2:
+                noise = arr
+        if (
+            signal_to_noise is not None
+            and signal_to_noise == level
+            and noise.size > 0
+        ):
+            n = min(len(intensity), len(noise))
+            intensity = intensity.copy()
+            intensity[:n] = intensity[:n] / noise[:n]
+        spectra.append(
+            RawSpectrum(
+                file_id=file_id,
+                ms_level=level,
+                id=data[
+                    int(r["id_off"]) : int(r["id_off"]) + int(r["id_len"])
+                ].decode(),
+                precursors=precursors,
+                centroid=bool(r["centroid"] == 1),
+                scan_start_time=sst,
+                ion_injection_time=float(r["iit"]),
+                total_ion_current=float(r["tic"]),
+                mz=mz,
+                intensity=intensity,
+            )
+        )
+    return spectra
+
+
+def _parse_bytes(
+    data: bytes,
+    file_id: int = 0,
+    signal_to_noise: Optional[int] = None,
+    ms_level: Optional[int] = None,
+) -> List[RawSpectrum]:
+    fast = parse_fast(
+        data, file_id=file_id, signal_to_noise=signal_to_noise,
+        ms_level=ms_level,
+    )
+    if fast is not None:
+        return fast
+    reader = MzMLReader(
+        file_id=file_id, ms_level=ms_level, signal_to_noise=signal_to_noise
+    )
+    return reader.parse(data)
+
+
 def read_mzml(
     path: str,
     file_id: int = 0,
     signal_to_noise: Optional[int] = None,
     ms_level: Optional[int] = None,
 ) -> List[RawSpectrum]:
-    """Read an mzML (or .mzML.gz) file from local disk."""
-    reader = MzMLReader(file_id=file_id, ms_level=ms_level, signal_to_noise=signal_to_noise)
+    """Read an mzML (or .mzML.gz) file from local disk; prefers the C
+    fast-path scanner with the Python state machine as fallback."""
     if path.lower().endswith(".gz"):
         with gzip.open(path, "rb") as fh:
-            return reader.parse(fh)
-    with open(path, "rb") as fh:
-        return reader.parse(fh)
+            data = fh.read()
+    else:
+        with open(path, "rb") as fh:
+            data = fh.read()
+    return _parse_bytes(
+        data, file_id=file_id, signal_to_noise=signal_to_noise,
+        ms_level=ms_level,
+    )
 
 
 def _parse_chunk(args):
     """Worker: parse one byte range of <spectrum> blocks (module-level so
     it pickles into a process pool)."""
     chunk, file_id, signal_to_noise, ms_level = args
-    reader = MzMLReader(
-        file_id=file_id, ms_level=ms_level, signal_to_noise=signal_to_noise
+    return _parse_bytes(
+        b"<mzML>" + chunk + b"</mzML>", file_id=file_id,
+        signal_to_noise=signal_to_noise, ms_level=ms_level,
     )
-    return reader.parse(b"<mzML>" + chunk + b"</mzML>")
 
 
 def read_mzml_parallel(
@@ -284,15 +454,17 @@ def read_mzml_parallel(
         with open(path, "rb") as fh:
             data = fh.read()
     if n_workers <= 1 or len(data) < (8 << 20):
-        return MzMLReader(
-            file_id=file_id, ms_level=ms_level, signal_to_noise=signal_to_noise
-        ).parse(data)
+        return _parse_bytes(
+            data, file_id=file_id, signal_to_noise=signal_to_noise,
+            ms_level=ms_level,
+        )
     starts = [m.start() for m in _re.finditer(b"<spectrum[ >]", data)]
     end = data.rfind(b"</spectrumList>")
     if not starts or end < 0:
-        return MzMLReader(
-            file_id=file_id, ms_level=ms_level, signal_to_noise=signal_to_noise
-        ).parse(data)
+        return _parse_bytes(
+            data, file_id=file_id, signal_to_noise=signal_to_noise,
+            ms_level=ms_level,
+        )
     K = min(max(n_workers * 2, 1), len(starts))
     bounds = [starts[i * len(starts) // K] for i in range(K)] + [end]
     chunks = [

@@ -34,7 +34,7 @@ def _build() -> bool:
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
             os.close(fd)
             subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", *_SRC_PATHS, "-o", tmp, "-lm"],
+                [cc, "-O2", "-shared", "-fPIC", *_SRC_PATHS, "-o", tmp, "-lm", "-lz"],
                 check=True,
                 capture_output=True,
             )
@@ -97,8 +97,75 @@ def _load():
         ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.mzml_scan.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.mzml_scan.restype = ctypes.c_long
+    lib.mzml_rec_size.restype = ctypes.c_int64
+    lib.mzml_decode_binary.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.mzml_decode_binary.restype = ctypes.c_long
     _lib = lib
     return _lib
+
+
+# numpy mirror of rec_t in mzml_scan.c (all fields 8 bytes -> no padding)
+_MAXP = 4
+_MAXA = 4
+MZML_REC_DTYPE = np.dtype(
+    [
+        ("id_off", "<i8"), ("id_len", "<i8"),
+        ("ms_level", "<i8"), ("centroid", "<i8"),
+        ("sst_unit", "<i8"), ("skip", "<i8"),
+        ("n_prec", "<i8"), ("n_arr", "<i8"),
+        ("tic", "<f8"), ("sst", "<f8"), ("iit", "<f8"),
+        ("p_mz", "<f8", (_MAXP,)), ("p_int", "<f8", (_MAXP,)),
+        ("p_im", "<f8", (_MAXP,)),
+        ("p_iso_target", "<f8", (_MAXP,)), ("p_iso_lo", "<f8", (_MAXP,)),
+        ("p_iso_hi", "<f8", (_MAXP,)),
+        ("p_charge", "<i8", (_MAXP,)),
+        ("p_has_int", "<i8", (_MAXP,)), ("p_has_im", "<i8", (_MAXP,)),
+        ("p_has_lo", "<i8", (_MAXP,)), ("p_has_hi", "<i8", (_MAXP,)),
+        ("p_ref_off", "<i8", (_MAXP,)), ("p_ref_len", "<i8", (_MAXP,)),
+        ("a_kind", "<i8", (_MAXA,)), ("a_f64", "<i8", (_MAXA,)),
+        ("a_zlib", "<i8", (_MAXA,)),
+        ("a_off", "<i8", (_MAXA,)), ("a_len", "<i8", (_MAXA,)),
+    ]
+)
+
+
+def mzml_scan(data: bytes):
+    """Scan an mzML document with the C fast path. Returns a structured
+    record array (MZML_REC_DTYPE) or None when the C library is
+    unavailable or the scanner bailed (caller falls back to the Python
+    parser)."""
+    lib = _load()
+    if not lib or not hasattr(lib, "mzml_scan"):
+        return None
+    if int(lib.mzml_rec_size()) != MZML_REC_DTYPE.itemsize:
+        log.warning(
+            "mzml_scan record size mismatch (%d != %d); using Python parser",
+            int(lib.mzml_rec_size()), MZML_REC_DTYPE.itemsize,
+        )
+        return None
+    max_rec = data.count(b"<spectrum ") + data.count(b"<spectrum>") + 1
+    recs = np.zeros(max_rec, dtype=MZML_REC_DTYPE)
+    n = lib.mzml_scan(
+        data, len(data), recs.ctypes.data_as(ctypes.c_void_p), max_rec
+    )
+    if n < 0:
+        return None
+    return recs[:n]
 
 
 def _f32ptr(a):

@@ -244,3 +244,33 @@ def test_read_mzml_parallel_matches_serial(tmp_path):
         assert x.id == y.id and x.ms_level == y.ms_level
         np.testing.assert_array_equal(x.mz, y.mz)
         np.testing.assert_array_equal(x.intensity, y.intensity)
+
+
+def test_c_scanner_matches_python_parser():
+    """The native mzml_scan fast path must produce identical spectra to
+    the Python state machine on the bundled fixture (native/mzml_scan.c)."""
+    import numpy as np
+
+    from sage_tpu.io.mzml import MzMLReader, parse_fast
+
+    data = open("/root/reference/tests/LQSRPAAPPAPGPGQLTLR.mzML", "rb").read()
+    fast = parse_fast(data)
+    if fast is None:
+        import pytest
+
+        pytest.skip("no C compiler for the native scanner")
+    slow = MzMLReader().parse(data)
+    assert len(fast) == len(slow)
+    for a, b in zip(fast, slow):
+        assert a.id == b.id and a.ms_level == b.ms_level
+        assert a.centroid == b.centroid
+        assert a.total_ion_current == b.total_ion_current
+        assert abs(a.scan_start_time - b.scan_start_time) < 1e-12
+        np.testing.assert_array_equal(a.mz, b.mz)
+        np.testing.assert_array_equal(a.intensity, b.intensity)
+        assert len(a.precursors) == len(b.precursors)
+        for p, q in zip(a.precursors, b.precursors):
+            assert p.mz == q.mz and p.charge == q.charge
+            assert p.isolation_window == q.isolation_window
+            assert p.inverse_ion_mobility == q.inverse_ion_mobility
+            assert p.spectrum_ref == q.spectrum_ref
