@@ -30,6 +30,7 @@ where exact f32/f64 feature math lives (sage_tpu.ops.features).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -50,6 +51,8 @@ from .features import (
     hyperscore_vec,
     log10_poisson_vec,
 )
+
+log = logging.getLogger("sage_tpu")
 
 F32 = np.float32
 
@@ -779,6 +782,15 @@ class Scorer:
         # stages reuse the single upload (uploads dominate on tunneled
         # links).
         peaks_dev = jnp.asarray(np.stack([masses, intens]))
+        fd = self._fused_dispatch(spectra, masses, intens, Pk, peaks_dev)
+        if fd is not None:
+            t = self._fused_finalize(spectra, fd, masses, intens, Pk)
+            if t is not None:
+                return t
+            log.warning(
+                "fused candidate budget overflow; re-running batch via the "
+                "two-dispatch path"
+            )
         prelim = self._preliminary(spectra, masses=masses, peaks_dev=peaks_dev)
         return self._features_table(
             spectra, prelim, masses, intens, Pk, self.params.report_psms,
@@ -806,22 +818,46 @@ class Scorer:
         def admit(batch):
             masses, intens, Pk = self._pad_peaks(batch)
             peaks_dev = jnp.asarray(np.stack([masses, intens]))
-            d1 = self._prelim_dispatch(batch, masses=masses, peaks_dev=peaks_dev)
-            return {
+            e = {
                 "batch": batch, "masses": masses, "intens": intens, "Pk": Pk,
                 "peaks_dev": peaks_dev,
-                "d1": d1, "prelim": None, "d2": None,
+                "d1": None, "prelim": None, "d2": None, "fd": None,
             }
+            e["fd"] = self._fused_dispatch(batch, masses, intens, Pk, peaks_dev)
+            if e["fd"] is None:
+                e["d1"] = self._prelim_dispatch(
+                    batch, masses=masses, peaks_dev=peaks_dev
+                )
+            return e
 
         def advance(e):
-            # stage-1 fetch + host merge + stage-2 dispatch
-            e["prelim"] = self._prelim_finalize(e["d1"])
-            e["d2"] = self._stage2_dispatch(
-                e["prelim"], e["intens"], e["Pk"], peaks_dev=e["peaks_dev"],
-            )
+            # stage-1 fetch + host merge + stage-2 dispatch (no-op for the
+            # fused single-dispatch path)
+            if e["fd"] is None:
+                e["prelim"] = self._prelim_finalize(e["d1"])
+                e["d2"] = self._stage2_dispatch(
+                    e["prelim"], e["intens"], e["Pk"], peaks_dev=e["peaks_dev"],
+                )
             return e
 
         def finish(e):
+            if e["fd"] is not None:
+                t = self._fused_finalize(
+                    e["batch"], e["fd"], e["masses"], e["intens"], e["Pk"]
+                )
+                if t is not None:
+                    return t
+                log.warning(
+                    "fused candidate budget overflow; re-running batch via "
+                    "the two-dispatch path"
+                )
+                prelim = self._preliminary(
+                    e["batch"], masses=e["masses"], peaks_dev=e["peaks_dev"]
+                )
+                return self._features_table(
+                    e["batch"], prelim, e["masses"], e["intens"], e["Pk"],
+                    self.params.report_psms, peaks_dev=e["peaks_dev"],
+                )
             return self._stage2_finalize(
                 e["batch"], e["prelim"], e["d2"], self.params.report_psms,
                 None, e["masses"], e["Pk"],
@@ -920,6 +956,195 @@ class Scorer:
     def _preliminary(self, spectra, masses=None, peaks_dev=None):
         return self._prelim_finalize(
             self._prelim_dispatch(spectra, masses=masses, peaks_dev=peaks_dev)
+        )
+
+    # ------------------------------------------------------------------
+    # Fused single-dispatch path (stage 1 + merge + stage 2 on device)
+    # ------------------------------------------------------------------
+
+    def _build_fused(self, W, Pk, S_pad, G_rows, Zb, Bc):
+        """One device program covering the whole per-batch search: stage-1
+        window counts, the per-spectrum PreScore merge (4-key sort by
+        matched/peptide/charge/isotope desc — scoring.rs:43-49 +
+        trim_hits), compaction of the matched>0 candidates, and the full
+        stage-2 rescore. On links where every blocking fetch costs a full
+        round trip this halves the per-batch latency: the host fetches
+        once and only assembles columns.
+
+        Requires uniform rows-per-spectrum (G_rows) and the counts-only
+        stage-1 shape (W <= K); the classic two-dispatch path remains for
+        everything else and as the overflow fallback."""
+        R = S_pad * G_rows
+        K0 = min(self.K, G_rows * W)
+        stage1_fn, counts_only = self._stage1(W, Pk, R, Zb)
+        assert counts_only
+        tables = self.tables
+        series = self.series
+        frag_tol = self.params.fragment_tol
+        n_series = self.n_series
+        L = tables.L
+        cfg = self.params.max_fragment_charge
+        Zcap = self.Z
+
+        def run(peaks_dev, ints):
+            # ints: [7, R] i32 (spec, p0, i0, i1, maxz, z, iso)
+            packed = stage1_fn(peaks_dev, ints[:5])       # [R, W+2]
+            counts = packed[:, :W]
+            mtot = packed[:, W]
+            scored = packed[:, W + 1]
+
+            p0 = ints[1]
+            pep = p0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+            z = jnp.broadcast_to(ints[5][:, None], (R, W))
+            iso = jnp.broadcast_to(ints[6][:, None], (R, W))
+
+            def rs(x):
+                return x.reshape(S_pad, G_rows * W)
+
+            m_s, pep_s, z_s, iso_s = jax.lax.sort(
+                (-rs(counts), -rs(pep), -rs(z), -rs(iso)),
+                dimension=1, num_keys=4,
+            )
+            m_s = -m_s[:, :K0]
+            pep_s = -pep_s[:, :K0]
+            z_s = -z_s[:, :K0]
+            iso_s = -iso_s[:, :K0]
+
+            mask = m_s > 0  # sorted desc: a prefix per spectrum
+            cnt_s = jnp.sum(mask.astype(jnp.int32), axis=1)
+            offs = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_s)[:-1]]
+            )
+            total = jnp.sum(cnt_s)
+            dest = offs[:, None] + jnp.arange(K0, dtype=jnp.int32)[None, :]
+            dest = jnp.where(mask & (dest < Bc), dest, Bc)  # Bc = discard
+            spec_ids = jnp.broadcast_to(
+                jnp.arange(S_pad, dtype=jnp.int32)[:, None], (S_pad, K0)
+            )
+
+            def compact(vals):
+                buf = jnp.zeros(Bc + 1, jnp.int32)
+                return buf.at[dest.reshape(-1)].set(vals.reshape(-1))[:Bc]
+
+            c_pep = compact(pep_s)
+            c_z = compact(z_s)
+            c_iso = compact(iso_s)
+            c_spec = compact(spec_ids)
+            c_m = compact(m_s)
+
+            # stage 2 on the compacted items
+            cap = jnp.minimum(c_z, cfg + 1) if cfg is not None else c_z
+            c_maxz = jnp.clip(jnp.maximum(cap, 2), 2, Zcap + 1)
+
+            def per_item(pkm, pki, pep_i, mz_i):
+                f = tables.lad_full[pep_i]
+                return rescore_candidate(
+                    f, None, pkm, pki, mz_i,
+                    series=series, frag_tol=frag_tol, Z=Zb,
+                )
+
+            pkm = peaks_dev[0][c_spec]
+            pki = peaks_dev[1][c_spec]
+            outs = jax.vmap(per_item)(pkm, pki, c_pep, c_maxz)
+            feats = jnp.stack(
+                [o.astype(jnp.float32) for o in outs], axis=1
+            )  # [Bc, 7]
+            meta = jnp.stack([c_pep, c_spec, c_z, c_iso, c_m], axis=1)
+            stats = jnp.stack([mtot, scored], axis=1)  # [R, 2]
+            return feats, meta, stats, total[None]
+
+        return jax.jit(run)
+
+    def _fused(self, W, Pk, S_pad, G_rows, Zb, Bc):
+        key = ("f", W, Pk, S_pad, G_rows, Zb, Bc)
+        if key not in self._stage1_cache:
+            self._stage1_cache[key] = self._build_fused(
+                W, Pk, S_pad, G_rows, Zb, Bc
+            )
+        return self._stage1_cache[key]
+
+    def _fused_dispatch(self, spectra, masses, intens, Pk, peaks_dev):
+        """Try the fused path; returns None when its preconditions don't
+        hold (non-uniform row counts, wide window, open search, huge
+        table)."""
+        import os
+
+        if self.tables.lad_full is None or len(self.db) >= (1 << 24):
+            return None
+        if os.environ.get("SAGE_TPU_FUSED", "1") == "0":
+            return None
+        rows = self._expand_rows(spectra)
+        n_rows = rows["si"].size
+        n_spec = len(spectra)
+        if n_rows == 0 or n_rows % n_spec != 0:
+            return None
+        G_rows = n_rows // n_spec
+        if not np.array_equal(
+            rows["si"], np.repeat(np.arange(n_spec, dtype=np.int32), G_rows)
+        ):
+            return None
+        max_win = int((rows["i1"] - rows["i0"]).max())
+        W = min(next_power_of_two(max(max_win, 8)), self.tables.P_pad)
+        if W > self.K or self._open_path(W):
+            return None
+
+        S_pad = _pad_count(n_spec)
+        R = S_pad * G_rows
+        ints = np.zeros((7, R), dtype=np.int32)
+        ints[0, :n_rows] = rows["si"]
+        ints[1, :n_rows] = np.minimum(rows["i0"], self.tables.P_pad - W)
+        ints[2, :n_rows] = rows["i0"]
+        ints[3, :n_rows] = rows["i1"]
+        cfg = self.params.max_fragment_charge
+        cap = np.minimum(rows["z"], cfg + 1) if cfg is not None else rows["z"]
+        maxz = np.maximum(cap, 2)
+        ints[4, :n_rows] = maxz
+        ints[4, n_rows:] = 2
+        ints[5, :n_rows] = rows["z"]
+        ints[6, :n_rows] = rows["iso"]
+        Zb = min(max(int(maxz.max()) - 1, 1), self.Z)
+        Bc = max(_pad_count(4 * n_spec), 2048)
+
+        fn = self._fused(W, Pk, S_pad, G_rows, Zb, Bc)
+        out = fn(peaks_dev, jnp.asarray(ints))
+        for o in out:
+            o.copy_to_host_async()
+        return {
+            "fused": out, "n_rows": n_rows, "n_spec": n_spec, "Bc": Bc,
+            "spec_idx": ints[0][: R], "R": R,
+        }
+
+    def _fused_finalize(self, spectra, d, masses, intens, Pk):
+        """Unpack the single fused fetch into the (prelim, d2) pair the
+        column assembly consumes; returns None on budget overflow (caller
+        reruns via the classic path)."""
+        feats, meta, stats, total = (
+            np.asarray(jax.device_get(x)) for x in d["fused"]
+        )
+        total = int(total[0])
+        if total > d["Bc"]:
+            return None
+        n_rows, n_spec = d["n_rows"], d["n_spec"]
+        spec_matched = np.bincount(
+            d["spec_idx"][:n_rows], weights=stats[:n_rows, 0],
+            minlength=n_spec,
+        ).astype(np.int64)
+        spec_scored = np.bincount(
+            d["spec_idx"][:n_rows], weights=stats[:n_rows, 1],
+            minlength=n_spec,
+        ).astype(np.int64)
+        prelim = {
+            "cand_pep": meta[:total, 0].astype(np.int32),
+            "cand_spec": meta[:total, 1].astype(np.int32),
+            "cand_charge": meta[:total, 2].astype(np.int32),
+            "cand_iso": meta[:total, 3].astype(np.int32),
+            "cand_matched": meta[:total, 4].astype(np.int32),
+            "spec_matched": spec_matched,
+            "spec_scored": spec_scored,
+        }
+        d2 = {"out_dev": feats, "nI": total, "use_int": intens}
+        return self._stage2_finalize(
+            spectra, prelim, d2, self.params.report_psms, None, masses, Pk
         )
 
     def _prelim_dispatch(self, spectra, masses=None, peaks_dev=None):

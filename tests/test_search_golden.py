@@ -143,3 +143,47 @@ def test_trim_hits_k_widens_with_report_psms(golden_setup):
     assert Scorer(db, params).K == 50
     wide = dataclasses.replace(params, report_psms=40)
     assert Scorer(db, wide).K == 80
+
+
+def test_fused_matches_two_dispatch(golden_setup, monkeypatch):
+    """The fused single-dispatch path (device-side merge + compaction +
+    rescore) must equal the classic two-dispatch path column for column,
+    including the multi-isotope row merge."""
+    db, params, spectra = golden_setup
+    batch = spectra * 3
+    monkeypatch.setenv("SAGE_TPU_FUSED", "1")
+    t_fused = Scorer(db, params).score_table(batch)
+    monkeypatch.setenv("SAGE_TPU_FUSED", "0")
+    t_classic = Scorer(db, params).score_table(batch)
+    assert len(t_fused) == len(t_classic) == len(batch)
+    for k in t_classic.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_fused.columns[k], t_classic.columns[k], err_msg=f"column {k}"
+        )
+
+
+def test_fused_matches_two_dispatch_sweep(golden_setup, monkeypatch):
+    """Same equivalence with unannotated precursors (charge sweep rows)
+    and multiple reported PSMs."""
+    import dataclasses
+
+    db, params, spectra = golden_setup
+    spec = dataclasses.replace(spectra[0])
+    from sage_tpu.spectrum.processor import Precursor
+
+    spec.precursors = [Precursor(mz=spectra[0].precursors[0].mz, charge=None)]
+    batch = [spec] * 2
+    p2 = dataclasses.replace(params, report_psms=3, min_matched_peaks=1)
+    monkeypatch.setenv("SAGE_TPU_FUSED", "1")
+    t_fused = Scorer(db, p2).score_table(batch)
+    monkeypatch.setenv("SAGE_TPU_FUSED", "0")
+    t_classic = Scorer(db, p2).score_table(batch)
+    assert len(t_fused) == len(t_classic) > 0
+    for k in t_classic.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_fused.columns[k], t_classic.columns[k], err_msg=f"column {k}"
+        )
