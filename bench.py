@@ -110,18 +110,18 @@ def main():
         n_warm += len(feats)
     assert n_warm, "warmup produced no PSMs"
 
-    # Median of three timed passes: the host<->device tunnel in this
+    # Median of five timed passes: the host<->device tunnel in this
     # environment has multi-10ms latency jitter that can halve a single
     # pass; the median reflects sustained throughput.
     times = []
     n_psms = 0
-    for _ in range(3):
+    for _ in range(5):
         t1 = time.perf_counter()
         n_psms = 0
         for feats in scorer.score_stream(batches):
             n_psms += len(feats)
         times.append(time.perf_counter() - t1)
-    dt = sorted(times)[1]
+    dt = sorted(times)[2]
     sps = len(spectra) / dt
 
     print(
