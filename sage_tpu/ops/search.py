@@ -1046,12 +1046,26 @@ class Scorer:
             pkm = peaks_dev[0][c_spec]
             pki = peaks_dev[1][c_spec]
             outs = jax.vmap(per_item)(pkm, pki, c_pep, c_maxz)
-            feats = jnp.stack(
-                [o.astype(jnp.float32) for o in outs], axis=1
-            )  # [Bc, 7]
-            meta = jnp.stack([c_pep, c_spec, c_z, c_iso, c_m], axis=1)
-            stats = jnp.stack([mtot, scored], axis=1)  # [R, 2]
-            return feats, meta, stats, total[None]
+            # ONE packed f32 output -> ONE host fetch round trip:
+            # rows [0, Bc): 7 feature cols + 5 meta cols (ints < 2^24,
+            # exact in f32); rows [Bc, Bc+R): per-row stats; last row:
+            # the compacted item count.
+            items = jnp.concatenate(
+                [
+                    jnp.stack([o.astype(jnp.float32) for o in outs], axis=1),
+                    jnp.stack(
+                        [c_pep, c_spec, c_z, c_iso, c_m], axis=1
+                    ).astype(jnp.float32),
+                ],
+                axis=1,
+            )  # [Bc, 12]
+            stats = jnp.zeros((R, 12), jnp.float32)
+            stats = stats.at[:, 0].set(mtot.astype(jnp.float32))
+            stats = stats.at[:, 1].set(scored.astype(jnp.float32))
+            tail = jnp.zeros((1, 12), jnp.float32).at[0, 0].set(
+                total.astype(jnp.float32)
+            )
+            return jnp.concatenate([items, stats, tail], axis=0)
 
         return jax.jit(run)
 
@@ -1107,22 +1121,23 @@ class Scorer:
 
         fn = self._fused(W, Pk, S_pad, G_rows, Zb, Bc)
         out = fn(peaks_dev, jnp.asarray(ints))
-        for o in out:
-            o.copy_to_host_async()
+        out.copy_to_host_async()
         return {
             "fused": out, "n_rows": n_rows, "n_spec": n_spec, "Bc": Bc,
-            "spec_idx": ints[0][: R], "R": R,
+            "spec_idx": ints[0][:R], "R": R,
         }
 
     def _fused_finalize(self, spectra, d, masses, intens, Pk):
         """Unpack the single fused fetch into the (prelim, d2) pair the
         column assembly consumes; returns None on budget overflow (caller
         reruns via the classic path)."""
-        feats, meta, stats, total = (
-            np.asarray(jax.device_get(x)) for x in d["fused"]
-        )
-        total = int(total[0])
-        if total > d["Bc"]:
+        packed = np.asarray(jax.device_get(d["fused"]))
+        Bc = d["Bc"]
+        feats = packed[:Bc, :7]
+        meta = packed[:Bc, 7:12]
+        stats = packed[Bc : Bc + d["R"], :2]
+        total = int(packed[-1, 0])
+        if total > Bc:
             return None
         n_rows, n_spec = d["n_rows"], d["n_spec"]
         spec_matched = np.bincount(
