@@ -372,36 +372,47 @@ class _DeviceTables:
         if precomp:
             neg_inf = jnp.float32(-np.inf)
 
+            # NOTE: device arrays are passed as ARGUMENTS, never closed
+            # over — a closure would embed them as HLO constants, which
+            # round-trips the whole table through the host at lowering
+            # time (pathological on tunneled links + persistent cache).
+            # All four tables come out of ONE jitted program: remote
+            # compiles cost seconds each on tunneled links, so fewer
+            # programs = faster first Scorer construction per process.
+            SL = S * L
+            SLp = ((SL + 127) // 128) * 128
+            P_pad = self.P_pad
+
             @jax.jit
-            def build():
-                lad = ion_ladders(self.resmass, self.nterm, self.mono, series)
-                idx_valid = series_valid_mask(self.lens, L, series, min_ion_index)
+            def build(resmass, nterm, mono, lens):
+                lad = ion_ladders(resmass, nterm, mono, series)
+                idx_valid = series_valid_mask(lens, L, series, min_ion_index)
                 ion_idx = jnp.arange(L, dtype=jnp.int32)
-                n_ions = jnp.maximum(self.lens - 1, 0)[:, None]
+                n_ions = jnp.maximum(lens - 1, 0)[:, None]
                 full_valid = ion_idx[None, :] < n_ions  # [P, L]
                 lad_index = jnp.where(idx_valid, lad, neg_inf)
                 lad_full = jnp.where(full_valid[None], lad, neg_inf)
                 # [S, P, L] -> [P, S, L] so per-candidate slices are contiguous
-                return (
-                    jnp.transpose(lad_index, (1, 0, 2)),
-                    jnp.transpose(lad_full, (1, 0, 2)),
+                lad_index = jnp.transpose(lad_index, (1, 0, 2))
+                lad_full = jnp.transpose(lad_full, (1, 0, 2))
+                # flat 2D views for the Pallas stage-1 kernel: [P_pad, SLp]
+                # (lanes padded to 128) with -inf in all padding
+                pad_cfg = ((0, 0), (0, SLp - SL))
+                lad2d_index = jnp.pad(
+                    lad_index.reshape(P_pad, SL), pad_cfg,
+                    constant_values=-np.inf,
                 )
+                lad2d_full = jnp.pad(
+                    lad_full.reshape(P_pad, SL), pad_cfg,
+                    constant_values=-np.inf,
+                )
+                return lad_index, lad_full, lad2d_index, lad2d_full
 
-            self.lad_index, self.lad_full = build()
-            # Flat 2D view for the Pallas stage-1 kernel: [P_pad, SLp]
-            # (lanes padded to 128) with -inf in all padding.
-            SL = S * L
-            self.SLp = ((SL + 127) // 128) * 128
-            lad2d = self.lad_index.reshape(self.P_pad, SL)
-            self.lad2d_index = jnp.pad(
-                lad2d, ((0, 0), (0, self.SLp - SL)),
-                constant_values=-np.inf,
-            )
-            lad2df = self.lad_full.reshape(self.P_pad, SL)
-            self.lad2d_full = jnp.pad(
-                lad2df, ((0, 0), (0, self.SLp - SL)),
-                constant_values=-np.inf,
-            )
+            self.SLp = SLp
+            (
+                self.lad_index, self.lad_full,
+                self.lad2d_index, self.lad2d_full,
+            ) = build(self.resmass, self.nterm, self.mono, self.lens)
 
 
 class Scorer:
@@ -450,19 +461,30 @@ class Scorer:
         # candidate indices. This is the common narrow-search shape.
         counts_only = W <= K
 
-        def row_counts(peaks, p0, i0, i1, maxz):
+        precomp = tables.lad_index is not None
+        # The table arrays are jit ARGUMENTS (never closure constants —
+        # see _DeviceTables.build).
+        tbl_args = (
+            (tables.lad_index,)
+            if precomp
+            else (tables.resmass, tables.nterm, tables.mono, tables.lens)
+        )
+
+        def row_counts(tbl, peaks, p0, i0, i1, maxz):
             # peaks: [Pk] padded with +inf
-            if tables.lad_index is not None:
+            if precomp:
+                (lad_index,) = tbl
                 f = jax.lax.dynamic_slice(
-                    tables.lad_index, (p0, 0, 0), (W, n_series, L)
+                    lad_index, (p0, 0, 0), (W, n_series, L)
                 )  # [W, S, L]
                 f = jnp.transpose(f, (1, 0, 2))  # [S, W, L]
                 fvalid = None
             else:
-                res = jax.lax.dynamic_slice(tables.resmass, (p0, 0), (W, L))
-                ntm = jax.lax.dynamic_slice(tables.nterm, (p0,), (W,))
-                mono_c = jax.lax.dynamic_slice(tables.mono, (p0,), (W,))
-                lens_c = jax.lax.dynamic_slice(tables.lens, (p0,), (W,))
+                resmass, nterm, mono, lens = tbl
+                res = jax.lax.dynamic_slice(resmass, (p0, 0), (W, L))
+                ntm = jax.lax.dynamic_slice(nterm, (p0,), (W,))
+                mono_c = jax.lax.dynamic_slice(mono, (p0,), (W,))
+                lens_c = jax.lax.dynamic_slice(lens, (p0,), (W,))
                 f = self._ladders(res, ntm, mono_c, L)  # [S, W, L]
                 fvalid = self._series_valid_mask(lens_c, L)  # [S, W, L]
             gidx = p0 + jnp.arange(W, dtype=jnp.int32)
@@ -474,8 +496,10 @@ class Scorer:
             scored = jnp.sum((counts > 0).astype(jnp.int32))
             return counts, matched_total, scored
 
-        def per_row(peaks, p0, i0, i1, maxz):
-            counts, matched_total, scored = row_counts(peaks, p0, i0, i1, maxz)
+        def per_row(tbl, peaks, p0, i0, i1, maxz):
+            counts, matched_total, scored = row_counts(
+                tbl, peaks, p0, i0, i1, maxz
+            )
             if counts_only:
                 return counts, matched_total, scored
             # Top-K by (count, peptide index) descending: reversing the
@@ -486,11 +510,13 @@ class Scorer:
             pep = p0 + (W - 1 - ridx)
             return vals, pep, matched_total, scored
 
-        def run(peaks_all, ints):
+        def run_inner(tbl, peaks_all, ints):
             # ints: [5, R] i32 (spec_idx, p0, i0, i1, maxz) — one upload.
             spec_idx, p0, i0, i1, maxz = (ints[j] for j in range(5))
             pk = peaks_all[0][spec_idx]  # [R, Pk]
-            out = jax.vmap(per_row)(pk, p0, i0, i1, maxz)
+            out = jax.vmap(
+                lambda *a: per_row(tbl, *a)
+            )(pk, p0, i0, i1, maxz)
             # Pack into ONE i32 array so the host pays a single fetch
             # round-trip on tunneled links.
             if counts_only:
@@ -503,7 +529,16 @@ class Scorer:
                 [vals, pep, mtot[:, None], scored[:, None]], axis=1
             )
 
-        return jax.jit(run), counts_only
+        jitted = jax.jit(run_inner)
+
+        def run(peaks_all, ints):
+            return jitted(tbl_args, peaks_all, ints)
+
+        # expose the traceable + table args so the fused program can
+        # inline stage 1 without re-capturing the tables as constants
+        run._traceable = run_inner
+        run._tbl = tbl_args
+        return run, counts_only
 
     def _build_stage2_compact(self, Pk: int, N: int, Z: Optional[int] = None):
         """Full-rescore stage returning compact per-item features — the
@@ -522,15 +557,23 @@ class Scorer:
         series = self.series
         is_nterm = np.array([_SERIES_NTERM[k] for k in series], dtype=bool)
 
-        def per_item(pkm, pki, pep, maxz):
-            if tables.lad_full is not None:
-                f = tables.lad_full[pep]  # [S, L]; invalid slots are -inf
+        precomp = tables.lad_full is not None
+        tbl_args = (
+            (tables.lad_full,)
+            if precomp
+            else (tables.resmass, tables.nterm, tables.mono, tables.lens)
+        )
+
+        def per_item(tbl, pkm, pki, pep, maxz):
+            if precomp:
+                f = tbl[0][pep]  # [S, L]; invalid slots are -inf
                 fvalid = None
             else:
-                res = tables.resmass[pep]  # [L]
-                ntm = tables.nterm[pep]
-                mono_c = tables.mono[pep]
-                lens_c = tables.lens[pep]
+                resmass, nterm, mono, lens = tbl
+                res = resmass[pep]  # [L]
+                ntm = nterm[pep]
+                mono_c = mono[pep]
+                lens_c = lens[pep]
                 f = ion_ladders(res[None, :], ntm[None], mono_c[None], series)[:, 0, :]
                 n_ions = jnp.maximum(lens_c - 1, 0)
                 ion_idx = jnp.arange(L, dtype=jnp.int32)
@@ -540,7 +583,7 @@ class Scorer:
                 series=series, frag_tol=frag_tol, Z=Z,
             )
 
-        def run(peaks_dev, ints):
+        def run_inner(tbl, peaks_dev, ints):
             # peaks_dev: [2, S, Pk] (masses, intensities); ints: [3, N] i32
             # (spec_idx, pep, maxz). Outputs pack into ONE f32 [N, 7] array
             # (integer columns are small counts, exact in f32) so the host
@@ -548,7 +591,9 @@ class Scorer:
             spec_idx, pep, maxz = ints[0], ints[1], ints[2]
             pkm = peaks_dev[0][spec_idx]
             pki = peaks_dev[1][spec_idx]
-            mb, my, sb, sy, pp, lb, ly = jax.vmap(per_item)(pkm, pki, pep, maxz)
+            mb, my, sb, sy, pp, lb, ly = jax.vmap(
+                lambda *a: per_item(tbl, *a)
+            )(pkm, pki, pep, maxz)
             return jnp.stack(
                 [
                     mb.astype(jnp.float32), my.astype(jnp.float32),
@@ -558,7 +603,12 @@ class Scorer:
                 axis=1,
             )
 
-        return jax.jit(run)
+        jitted = jax.jit(run_inner)
+
+        def run(peaks_dev, ints):
+            return jitted(tbl_args, peaks_dev, ints)
+
+        return run
 
     def _open_path(self, W: int) -> bool:
         """Use the peak-major open-search path when the candidate window
@@ -598,12 +648,17 @@ class Scorer:
         lad2d = tables.lad2d_index
         SLp = tables.SLp
 
-        def run(peaks_dev, ints):
+        def traceable(tbl, peaks_dev, ints5):
             return stage1_counts_pallas(
-                lad2d, peaks_dev, ints[0], ints[1], ints[2], ints[3], ints[4],
-                W=W, SLp=SLp, Pk=Pk, Z=Z, R=R, tol=tol_s,
+                tbl[0], peaks_dev, ints5[0], ints5[1], ints5[2], ints5[3],
+                ints5[4], W=W, SLp=SLp, Pk=Pk, Z=Z, R=R, tol=tol_s,
             )
 
+        def run(peaks_dev, ints):
+            return traceable((lad2d,), peaks_dev, ints)
+
+        run._traceable = traceable
+        run._tbl = (lad2d,)
         return run, True
 
     def _stage1(self, W, Pk, R, Z):
@@ -978,6 +1033,8 @@ class Scorer:
         K0 = min(self.K, G_rows * W)
         stage1_fn, counts_only = self._stage1(W, Pk, R, Zb)
         assert counts_only
+        s1_trace = stage1_fn._traceable
+        s1_tbl = stage1_fn._tbl
         tables = self.tables
         series = self.series
         frag_tol = self.params.fragment_tol
@@ -986,9 +1043,9 @@ class Scorer:
         cfg = self.params.max_fragment_charge
         Zcap = self.Z
 
-        def run(peaks_dev, ints):
+        def run_inner(tbl_s1, lad_full, peaks_dev, ints):
             # ints: [7, R] i32 (spec, p0, i0, i1, maxz, z, iso)
-            packed = stage1_fn(peaks_dev, ints[:5])       # [R, W+2]
+            packed = s1_trace(tbl_s1, peaks_dev, ints[:5])  # [R, W+2]
             counts = packed[:, :W]
             mtot = packed[:, W]
             scored = packed[:, W + 1]
@@ -1037,7 +1094,7 @@ class Scorer:
             c_maxz = jnp.clip(jnp.maximum(cap, 2), 2, Zcap + 1)
 
             def per_item(pkm, pki, pep_i, mz_i):
-                f = tables.lad_full[pep_i]
+                f = lad_full[pep_i]
                 return rescore_candidate(
                     f, None, pkm, pki, mz_i,
                     series=series, frag_tol=frag_tol, Z=Zb,
@@ -1067,7 +1124,12 @@ class Scorer:
             )
             return jnp.concatenate([items, stats, tail], axis=0)
 
-        return jax.jit(run)
+        jitted = jax.jit(run_inner)
+
+        def run(peaks_dev, ints):
+            return jitted(s1_tbl, tables.lad_full, peaks_dev, ints)
+
+        return run
 
     def _fused(self, W, Pk, S_pad, G_rows, Zb, Bc):
         key = ("f", W, Pk, S_pad, G_rows, Zb, Bc)
