@@ -76,7 +76,7 @@ def _device_open_count(
     src = jnp.cumsum(deltas, axis=1) + jnp.arange(F, dtype=jnp.int32)[None, :]
     jvalid = jnp.arange(F, dtype=jnp.int32)[None, :] < total[:, None]
     src = jnp.clip(src, 0, frag_pep.shape[0] - 1)
-    pep = jnp.where(jvalid, frag_pep[src], jnp.int32(-1))   # [B, F]
+    pep = jnp.where(jvalid, frag_pep[src], np.int32(-1))   # [B, F]
     # fragment-charge tag of each entry's window (windows laid out
     # z-major: w = (z-1)*Pk + peak) via the same boundary-cumsum trick
     w_of = jnp.cumsum(
@@ -88,9 +88,9 @@ def _device_open_count(
     z_of = jnp.clip(w_of, 0, Z * Pk - 1) // Pk + 1          # [B, F]
 
     # ---- sort per spectrum by peptide DESCENDING, carrying the z tag
-    neg = jnp.where(pep >= 0, -pep, jnp.int32(2**30))
+    neg = jnp.where(pep >= 0, -pep, np.int32(2**30))
     neg_sorted, z_sorted = jax.lax.sort((neg, z_of), dimension=1, num_keys=1)
-    pep_sorted = jnp.where(neg_sorted < 2**30, -neg_sorted, jnp.int32(-1))
+    pep_sorted = jnp.where(neg_sorted < 2**30, -neg_sorted, np.int32(-1))
 
     run_start = jnp.concatenate(
         [
@@ -119,7 +119,7 @@ def _device_open_count(
         matched_total = jnp.sum(ok & (p >= 0))
         scored = jnp.sum((cnt > 0).astype(jnp.int32))
         vals, idx = jax.lax.top_k(cnt, K)
-        cand = jnp.where(vals > 0, p[idx], jnp.int32(0))
+        cand = jnp.where(vals > 0, p[idx], np.int32(0))
         return vals, cand, matched_total, scored
 
     vals, cand, mtot, scored = jax.vmap(per_row)(

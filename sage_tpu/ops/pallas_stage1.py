@@ -92,15 +92,15 @@ def _kernel(
         maxz = maxz_ref[base + g]
         qb = []
         for zi in range(Z):
-            z = jnp.float32(zi + 1)
+            z = np.float32(zi + 1)
             q = pk_col * z
             lo_q, hi_q = _tol_bounds(kind, tlo, thi, q)
             if zi > 0:
                 # plane active only below the row's fragment-charge bound;
                 # +inf bounds match no finite fragment
                 z_ok = (zi + 1) < maxz
-                lo_q = jnp.where(z_ok, lo_q, jnp.float32(np.inf))
-                hi_q = jnp.where(z_ok, hi_q, jnp.float32(np.inf))
+                lo_q = jnp.where(z_ok, lo_q, np.float32(np.inf))
+                hi_q = jnp.where(z_ok, hi_q, np.float32(np.inf))
             qb.append((lo_q, hi_q))
         for w in range(W):
             f_row = win[slot, g, w : w + 1, :]  # [1, SLp]

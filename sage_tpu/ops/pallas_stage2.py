@@ -65,33 +65,33 @@ def _kernel(
         mb_g = jnp.zeros((1, 1), jnp.int32)
         my_g = jnp.zeros((1, 1), jnp.int32)
         for zi in range(Z):
-            z = jnp.float32(zi + 1)
+            z = np.float32(zi + 1)
             mzc = f_col / z                          # [SLp, 1]
             lo, hi = _tol_bounds(kind, tlo, thi, mzc)
             inwin = (pk_row >= lo) & (pk_row <= hi)  # [SLp, Pk]
             qual = inwin & (pi_row >= 0)
             if zi > 0:
                 qual = qual & ((zi + 1) < maxz)
-            val = jnp.where(qual, pi_row, jnp.float32(-1.0))
+            val = jnp.where(qual, pi_row, np.float32(-1.0))
             # most intense in-window peak; the matched peak's mass is the
             # max mass attaining it (masses ascend with index = ties to
             # the LATER index, spectrum.rs:150-157)
             best = jnp.max(val, axis=1, keepdims=True)      # [SLp, 1]
             bmass = jnp.max(
-                jnp.where(val == best, pk_row, jnp.float32(-np.inf)),
+                jnp.where(val == best, pk_row, np.float32(-np.inf)),
                 axis=1, keepdims=True,
             )
             m = best >= 0                                   # [SLp, 1]
-            pk_i = jnp.where(m, best, jnp.float32(0.0))
-            pk_m = jnp.where(m, bmass, jnp.float32(0.0))
+            pk_i = jnp.where(m, best, np.float32(0.0))
+            pk_m = jnp.where(m, bmass, np.float32(0.0))
             # intensity-weighted ppm term (scoring.rs:719-720)
             d = jnp.abs(mzc - pk_m)
             den = mzc + pk_m
             ppm_t = jnp.where(
                 m,
-                ((pk_i * d) * jnp.float32(2e6))
-                / jnp.where(den == 0, jnp.float32(1.0), den),
-                jnp.float32(0.0),
+                ((pk_i * d) * np.float32(2e6))
+                / jnp.where(den == 0, np.float32(1.0), den),
+                np.float32(0.0),
             )
             ti[zi, :, g : g + 1] = pk_i
             tp[zi, :, g : g + 1] = ppm_t

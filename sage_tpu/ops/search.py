@@ -117,13 +117,13 @@ def tol_bounds_static(kind: str, lo: float, hi: float, center):
     (mass.rs:21-35). The single traced implementation shared by the XLA
     stages and both Pallas kernels, so the bit-identical guarantee has
     one definition."""
-    lo = jnp.float32(lo)
-    hi = jnp.float32(hi)
+    lo = np.float32(lo)
+    hi = np.float32(hi)
     if kind == "ppm":
-        s = jnp.float32(1e6)
+        s = np.float32(1e6)
         return center + (center * lo) / s, center + (center * hi) / s
     if kind == "pct":
-        s = jnp.float32(100.0)
+        s = np.float32(100.0)
         return center + (center * lo) / s, center + (center * hi) / s
     return center + lo, center + hi
 
@@ -144,13 +144,13 @@ def ion_ladders(res, ntm, mono, series):
     inits = []
     signs = []
     for kind in series:
-        seed = jnp.float32(_SERIES_SEED[kind])
+        seed = np.float32(_SERIES_SEED[kind])
         if _SERIES_NTERM[kind]:
             inits.append(ntm + seed)
-            signs.append(jnp.float32(1.0))
+            signs.append(np.float32(1.0))
         else:
             inits.append((mono - ntm) + seed)
-            signs.append(jnp.float32(-1.0))
+            signs.append(np.float32(-1.0))
     init = jnp.stack(inits, axis=0)  # [S, ...]
     sign = jnp.stack(signs, axis=0).reshape((n_series,) + (1,) * (res.ndim - 1))
 
@@ -197,7 +197,7 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
 
     matched_l, pkm_l, pki_l, mzs = [], [], [], []
     for zi in range(Z):
-        z = jnp.float32(zi + 1)
+        z = np.float32(zi + 1)
         mzc = f / z  # [S, L]
         lo, hi = _tol_bounds_jnp(frag_tol, mzc)
         z_ok = (zi + 1) < maxz
@@ -207,7 +207,7 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
         qual = inwin & (pki[None, None, :] >= 0) & z_ok
         if fvalid is not None:
             qual = qual & fvalid[..., None]
-        val = jnp.where(qual, pki[None, None, :], jnp.float32(-1.0))
+        val = jnp.where(qual, pki[None, None, :], np.float32(-1.0))
         # Most intense in-window peak: a plain lane max gives the
         # intensity; the matched peak's mass is the max mass among
         # peaks attaining it — masses ascend with index, so this
@@ -216,13 +216,13 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
         best = jnp.max(val, axis=-1)  # [S, L]
         bmass = jnp.max(
             jnp.where(val == best[..., None], pkm[None, None, :],
-                      jnp.float32(-np.inf)),
+                      np.float32(-np.inf)),
             axis=-1,
         )
         m = best >= 0
         matched_l.append(m)
-        pki_l.append(jnp.where(m, best, jnp.float32(0.0)))
-        pkm_l.append(jnp.where(m, bmass, jnp.float32(0.0)))
+        pki_l.append(jnp.where(m, best, np.float32(0.0)))
+        pkm_l.append(jnp.where(m, bmass, np.float32(0.0)))
         mzs.append(mzc)
     matched = jnp.stack(matched_l, axis=-1)  # [S, L, Z]
     pk_i = jnp.stack(pki_l, axis=-1)
@@ -235,9 +235,9 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
     denom = mz_c + pk_m
     ppm_t = jnp.where(
         matched,
-        ((pk_i * d) * jnp.float32(2e6))
-        / jnp.where(denom == 0, jnp.float32(1.0), denom),
-        jnp.float32(0.0),
+        ((pk_i * d) * np.float32(2e6))
+        / jnp.where(denom == 0, np.float32(1.0), denom),
+        np.float32(0.0),
     )
 
     bm3 = is_nterm[:, None, None]
@@ -277,7 +277,7 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
             last = jnp.where(m & ~skip, l, last)
             return (start, length, last, longest), None
 
-        z0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        z0 = (np.int32(0), np.int32(0), np.int32(0), np.int32(0))
         (_, _, _, longest), _ = jax.lax.scan(step, z0, flags_and_idx)
         return longest
 
@@ -286,8 +286,8 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
     b_idx = ion_l[is_nterm].reshape(-1)
     y_flags = m_any[~is_nterm].reshape(-1)
     y_idx = ion_l[~is_nterm].reshape(-1)
-    lb = run_scan((b_flags, b_idx)) if is_nterm.any() else jnp.int32(0)
-    ly = run_scan((y_flags, y_idx)) if (~is_nterm).any() else jnp.int32(0)
+    lb = run_scan((b_flags, b_idx)) if is_nterm.any() else np.int32(0)
+    ly = run_scan((y_flags, y_idx)) if (~is_nterm).any() else np.int32(0)
 
     return mb, my, sums[0], sums[1], sums[2], lb, ly
 
@@ -305,15 +305,15 @@ def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
     W = f.shape[1]
     counts = jnp.zeros((W,), dtype=jnp.int32)
     for zi in range(Z):
-        z = jnp.float32(zi + 1)
+        z = np.float32(zi + 1)
         q = peaks * z  # [Pk]
         lo_q, hi_q = _tol_bounds_jnp(frag_tol, q)
         z_ok = (zi + 1) < maxz
         # Masked charge planes must contribute 0 to both the prefix count
         # (lo <= f) and the strict count (hi < f): +inf fails both
         # comparisons for any finite fragment.
-        lo_q = jnp.where(z_ok, lo_q, jnp.float32(np.inf))
-        hi_q = jnp.where(z_ok, hi_q, jnp.float32(np.inf))
+        lo_q = jnp.where(z_ok, lo_q, np.float32(np.inf))
+        hi_q = jnp.where(z_ok, hi_q, np.float32(np.inf))
         a = jnp.sum((f[..., None] >= lo_q[None, None, None, :]), axis=-1, dtype=jnp.int32)
         b = jnp.sum((f[..., None] > hi_q[None, None, None, :]), axis=-1, dtype=jnp.int32)
         cnt = a - b if fvalid is None else jnp.where(fvalid, a - b, 0)
@@ -370,7 +370,10 @@ class _DeviceTables:
         self.lad2d_full = None
         self.SLp = 0
         if precomp:
-            neg_inf = jnp.float32(-np.inf)
+            # numpy scalar, NOT jnp: a jnp scalar is a device array that
+            # becomes a jaxpr constvar, and embedding it at lowering time
+            # blocks on a device fetch behind whatever the queue holds
+            neg_inf = np.float32(-np.inf)
 
             # NOTE: device arrays are passed as ARGUMENTS, never closed
             # over — a closure would embed them as HLO constants, which

@@ -309,7 +309,7 @@ class ShardedSearch:
                     series=series, frag_tol=frag_tol, Z=Z,
                 )
                 return tuple(
-                    jnp.where(owned, o.astype(jnp.float32), jnp.float32(0.0))
+                    jnp.where(owned, o.astype(jnp.float32), np.float32(0.0))
                     for o in out
                 )
 
