@@ -22,6 +22,7 @@ import io
 import logging
 import os
 import urllib.parse
+import urllib.request
 from typing import List, Optional, Tuple
 
 log = logging.getLogger("sage_tpu")
@@ -77,8 +78,6 @@ def filename(s: str) -> Optional[str]:
 
 def _read_cloud_bytes(scheme: str, url: str) -> bytes:
     if scheme in ("http", "https"):
-        import urllib.request
-
         with urllib.request.urlopen(url) as resp:
             return resp.read()
     if scheme in ("s3", "s3a"):
