@@ -5,6 +5,8 @@ import base64
 import struct
 import zlib
 
+import pytest
+
 import numpy as np
 
 from sage_tpu.chem.mass import NEUTRON, PROTON
@@ -274,3 +276,81 @@ def test_c_scanner_matches_python_parser():
             assert p.isolation_window == q.isolation_window
             assert p.inverse_ion_mobility == q.inverse_ion_mobility
             assert p.spectrum_ref == q.spectrum_ref
+
+
+def _reference_issue_snippets():
+    """Extract the raw <spectrum> XML literals from the reference's inline
+    regression tests (mzml.rs, GitHub issues 78/117/210) at runtime —
+    real vendor-style documents incl. base64 binary payloads."""
+    import re
+
+    src = open("/root/reference/crates/sage-cloudpath/src/mzml.rs").read()
+    blocks = re.findall(r'r#"\s*(<spectrum.*?</spectrum>)\s*"#', src, re.S)
+    assert len(blocks) >= 3, "reference test snippets not found"
+    return blocks
+
+
+@pytest.mark.parametrize("use_c", [False, True])
+def test_reference_issue_regressions(use_c):
+    """Parity with the reference's mzML regression tests (issues 78, 117,
+    210): isolation windows, ion mobility from selectedIon OR scan, and
+    selected-ion m/z overriding the isolation target."""
+    from sage_tpu.io.mzml import MzMLReader, parse_fast
+
+    blocks = _reference_issue_snippets()
+
+    def parse(xml):
+        data = xml.encode()
+        if use_c:
+            out = parse_fast(data)
+            if out is None:
+                pytest.skip("no C scanner available")
+            return out
+        return MzMLReader().parse(data)
+
+    # issue 78: IM on the selected ion; asymmetric isolation window;
+    # seconds -> minutes
+    s = parse(blocks[0])[0]
+    assert s.id == "spectrum=2442"
+    assert s.ms_level == 2 and s.centroid
+    p = s.precursors[0]
+    assert p.charge == 2
+    assert abs(p.mz - 457.723968) < 1e-4
+    assert abs(p.inverse_ion_mobility - 1.078628) < 1e-4
+    assert p.isolation_window.kind == "da"
+    assert p.isolation_window.lo == -1.5 and p.isolation_window.hi == 0.75
+    assert abs(s.scan_start_time - 25.066) < 1e-3
+    assert len(s.mz) == len(s.intensity) > 0
+
+    # issue 117: IM written on the scan element instead
+    s = parse(blocks[1])[0]
+    p = s.precursors[0]
+    assert p.inverse_ion_mobility is not None
+    assert abs(p.inverse_ion_mobility - 1.078628) < 1e-4
+
+    # issue 210: selected-ion m/z overrides the isolation window target
+    s = parse(blocks[2])[0]
+    p = s.precursors[0]
+    assert abs(p.mz - 457.723968) < 1e-4
+    assert p.isolation_window.lo == -1.5 and p.isolation_window.hi == 0.75
+
+
+def test_c_scanner_matches_python_on_issue_snippets():
+    from sage_tpu.io.mzml import MzMLReader, parse_fast
+    import numpy as np
+
+    for xml in _reference_issue_snippets():
+        data = xml.encode()
+        fast = parse_fast(data)
+        if fast is None:
+            pytest.skip("no C scanner available")
+        slow = MzMLReader().parse(data)
+        assert len(fast) == len(slow)
+        for a, b in zip(fast, slow):
+            np.testing.assert_array_equal(a.mz, b.mz)
+            np.testing.assert_array_equal(a.intensity, b.intensity)
+            assert len(a.precursors) == len(b.precursors)
+            for p, q in zip(a.precursors, b.precursors):
+                assert p.mz == q.mz and p.charge == q.charge
+                assert p.isolation_window == q.isolation_window
+                assert p.inverse_ion_mobility == q.inverse_ion_mobility
