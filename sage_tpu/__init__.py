@@ -18,6 +18,7 @@ __all__ = [
     "Scorer",
     "SearchParams",
     "Runner",
+    "ShardedScorer",
     "build_search",
     "load_config",
     "save_database",
@@ -41,6 +42,10 @@ def __getattr__(name):
         from .pipeline.runner import Runner
 
         return Runner
+    if name == "ShardedScorer":
+        from .parallel.sharding import ShardedScorer
+
+        return ShardedScorer
     if name in ("build_search", "load_config"):
         from .pipeline import input as _input
 

@@ -273,6 +273,8 @@ class ShardedSearch:
                 )
                 in_window = (mono >= lo) & (mono <= hi)
                 counts = jnp.where(in_window, counts, 0)
+                matched_total = jnp.sum(counts)
+                scored = jnp.sum((counts > 0).astype(jnp.int32))
                 rev = counts[::-1]
                 k = min(K, P_local)
                 vals, ridx = jax.lax.top_k(rev, k)
@@ -280,9 +282,13 @@ class ShardedSearch:
                 if k < K:
                     vals = jnp.pad(vals, (0, K - k))
                     pep = jnp.pad(pep, (0, K - k), constant_values=-1)
-                return vals, pep
+                return vals, pep, matched_total, scored
 
-            vals, pep = jax.vmap(per_row)(peaks, prec_lo, prec_hi, maxz)
+            vals, pep, mtot, scored = jax.vmap(per_row)(
+                peaks, prec_lo, prec_hi, maxz
+            )
+            mtot = jax.lax.psum(mtot, "model")
+            scored = jax.lax.psum(scored, "model")
             allv = jax.lax.all_gather(vals, "model", axis=1, tiled=True)
             allp = jax.lax.all_gather(pep, "model", axis=1, tiled=True)
             sc, sp = jax.lax.sort((-allv, -allp), dimension=1, num_keys=2)
@@ -322,7 +328,7 @@ class ShardedSearch:
                 peaks, intens, gpep, maxz, gvals
             )  # tuple of [R_l, K]
             feats = tuple(jax.lax.psum(x, "model") for x in feats)
-            return (gvals, gpep) + feats
+            return (gvals, gpep) + feats + (mtot, scored)
 
         fn = shard_map(
             local_shard,
@@ -332,7 +338,7 @@ class ShardedSearch:
                 P("data"), P("data"), P("data"),
                 P("model", None), P("model"), P("model"), P("model"),
             ),
-            out_specs=(P("data", None),) * 9,
+            out_specs=(P("data", None),) * 9 + (P("data"), P("data")),
             check_vma=False,
         )
 
@@ -348,9 +354,145 @@ class ShardedSearch:
     def full_step(self, peaks, intens, prec_lo, prec_hi, maxz):
         """Complete sharded search step. Returns (counts [R, K],
         peptide [R, K], mb, my, summed_b, summed_y, ppm_sum, longest_b,
-        longest_y — each f32 [R, K])."""
+        longest_y — each f32 [R, K] — plus matched_total [R] and
+        scored_candidates [R])."""
         R, Pk = peaks.shape
         key = ("full", R, Pk)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._build_full(R, Pk)
         return self._fn_cache[key](peaks, intens, prec_lo, prec_hi, maxz)
+
+
+class ShardedScorer:
+    """User-facing multi-chip scorer: `score_table(spectra)` over a
+    ("data", "model") mesh, producing the same columnar FeatureTable as
+    the single-device `sage_tpu.Scorer` (bitwise, for any mesh shape).
+
+    Orchestration mirrors the single-device two-pass flow: the host
+    expands (spectrum x charge x isotope) query rows, the mesh runs
+    `ShardedSearch.full_step` (stage-1 counts sharded over the peptide
+    axis, all_gather top-K merge, owner-computes stage-2 rescore with a
+    psum), and the host assembles feature columns. The peptide table
+    lives sharded in HBM — the single-device path's HBM-resident ladder
+    tables replicated-per-shard analog."""
+
+    def __init__(self, db: IndexedDatabase, mesh: Mesh, params):
+        from ..ops.search import Scorer
+
+        self.db = db
+        self.mesh = mesh
+        self.params = params
+        # reuse the host-side machinery (row expansion, merge, feature
+        # assembly) from the single-device scorer
+        self._host = Scorer.__new__(Scorer)
+        h = self._host
+        h.db = db
+        h.params = params
+        h.series = tuple(db.ion_kinds)
+        h.n_series = len(h.series)
+        h.min_ion_index = db.min_ion_index
+        from ..ops.search import max_fragment_charge
+
+        zmax = max(
+            max_fragment_charge(params.max_fragment_charge, z)
+            for z in range(1, params.max_precursor_charge + 1)
+        )
+        h.Z = max(zmax - 1, 1)
+        h.K = max(50, params.report_psms * 2)
+        h._stage1_cache = {}
+        h._stage2_cache = {}
+        h._psm_counter = 1
+        h.tables = None  # never used: device work goes through the mesh
+        self.search = ShardedSearch(
+            db, mesh, params.fragment_tol, Z=h.Z, K=h.K
+        )
+        self._n_data = mesh.shape["data"]
+
+    def score_table(self, spectra):
+        from ..ops.features import FeatureTable
+
+        h = self._host
+        if not spectra:
+            return FeatureTable.empty()
+        masses, intens, Pk = h._pad_peaks(spectra)
+        rows = h._expand_rows(spectra)
+        n_rows = rows["si"].size
+        n_spec = len(spectra)
+        R = ((max(n_rows, self._n_data) + self._n_data - 1)
+             // self._n_data) * self._n_data
+
+        mono = self.db.table.mono
+        peaks_r = np.full((R, Pk), np.inf, np.float32)
+        intens_r = np.full((R, Pk), -1.0, np.float32)
+        lo = np.zeros(R, np.float32)
+        hi = np.full(R, -1.0, np.float32)  # empty window for padding rows
+        maxz = np.full(R, 2, np.int32)
+        peaks_r[:n_rows] = masses[rows["si"]]
+        intens_r[:n_rows] = intens[rows["si"]]
+        # full_step windows are mass ranges [lo, hi]: reconstruct the f32
+        # range endpoints from the peptide-index window so membership is
+        # identical to the single-device candidate range
+        lo[:n_rows] = np.where(
+            rows["i0"] < len(mono), mono[np.minimum(rows["i0"], len(mono) - 1)],
+            np.float32(np.inf),
+        )
+        hi[:n_rows] = np.where(
+            rows["i1"] > 0, mono[np.maximum(rows["i1"] - 1, 0)],
+            np.float32(-np.inf),
+        )
+        # empty [i0, i1) windows must stay empty
+        empty = rows["i1"] <= rows["i0"]
+        lo[:n_rows][empty] = np.float32(np.inf)
+        hi[:n_rows][empty] = np.float32(-np.inf)
+        cfg = self.params.max_fragment_charge
+        cap = np.minimum(rows["z"], cfg + 1) if cfg is not None else rows["z"]
+        maxz[:n_rows] = np.maximum(cap, 2)
+
+        out = self.search.full_step(peaks_r, intens_r, lo, hi, maxz)
+        counts, pep = (np.asarray(x) for x in out[:2])
+        feats = [np.asarray(x) for x in out[2:9]]
+        row_mtot = np.asarray(out[9])
+        row_scored = np.asarray(out[10])
+
+        # flatten (row, k), drop zero-matched, host-merge with the
+        # PreScore ordering — identical to Scorer._prelim_finalize
+        K = h.K
+        m = counts[:n_rows].ravel()
+        pp = pep[:n_rows].ravel()
+        ss = np.repeat(rows["si"], K)
+        zz = np.repeat(rows["z"], K)
+        ii = np.repeat(rows["iso"], K)
+        fcols = [f[:n_rows].reshape(-1) for f in feats]
+        keep = m > 0
+        order = np.lexsort(
+            (-ii[keep], -zz[keep], -pp[keep], -m[keep], ss[keep])
+        )
+        sel = np.flatnonzero(keep)[order]
+        ssel = ss[sel]
+        if ssel.size:
+            starts = np.r_[0, np.flatnonzero(np.diff(ssel)) + 1]
+            group_start = np.repeat(starts, np.diff(np.r_[starts, ssel.size]))
+            rank = np.arange(ssel.size) - group_start
+            sel = sel[rank < K]
+            ssel = ss[sel]
+
+        spec_matched = np.bincount(
+            rows["si"], weights=row_mtot[:n_rows], minlength=n_spec
+        ).astype(np.int64)
+        spec_scored = np.bincount(
+            rows["si"], weights=row_scored[:n_rows], minlength=n_spec
+        ).astype(np.int64)
+        prelim = {
+            "cand_matched": m[sel].astype(np.int32),
+            "cand_pep": pp[sel].astype(np.int32),
+            "cand_spec": ssel.astype(np.int32),
+            "cand_charge": zz[sel].astype(np.int32),
+            "cand_iso": ii[sel].astype(np.int32),
+            "spec_matched": spec_matched,
+            "spec_scored": spec_scored,
+        }
+        packed = np.stack([c[sel].astype(np.float32) for c in fcols], axis=1)
+        d2 = {"out_dev": packed, "nI": sel.size, "use_int": intens}
+        return h._stage2_finalize(
+            spectra, prelim, d2, self.params.report_psms, None, masses, Pk
+        )

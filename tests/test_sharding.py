@@ -144,3 +144,64 @@ def test_full_step_matches_scorer_stage2(db, queries):
         [out[2 + j][rows, ks] for j in range(7)], axis=1
     ).astype(np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8)])
+def test_sharded_scorer_matches_single_device(db, shape):
+    """ShardedScorer.score_table must equal the single-device Scorer's
+    FeatureTable bitwise, for any mesh shape."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < shape[0] * shape[1]:
+        pytest.skip("not enough devices")
+
+    from sage_tpu.chem.mass import PROTON
+    from sage_tpu.ops.search import Scorer, SearchParams
+    from sage_tpu.parallel.sharding import ShardedScorer
+    from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum
+
+    rng = np.random.default_rng(3)
+    b, y = db.table.ladders()
+    spectra = []
+    targets = np.flatnonzero(db.table.lens >= 8)
+    for i in range(12):
+        p = int(rng.choice(targets))
+        n = int(db.table.lens[p]) - 1
+        frags = np.concatenate([b[p, :n], y[p, :n]])
+        take = frags[rng.random(frags.shape[0]) < 0.8]
+        noise = rng.uniform(200.0, 1500.0, 20).astype(np.float32)
+        masses = np.sort(np.concatenate([take, noise]).astype(np.float32))
+        intens = rng.uniform(1.0, 1e5, masses.shape[0]).astype(np.float32)
+        charge = 2 if i % 3 else None  # mix annotated + sweep rows
+        spectra.append(
+            ProcessedSpectrum(
+                level=2, id=f"scan={i}", file_id=0,
+                scan_start_time=0.1 * i, ion_injection_time=1.0,
+                precursors=[
+                    Precursor(
+                        mz=float(db.table.mono[p]) / 2 + PROTON, charge=charge
+                    )
+                ],
+                masses=masses, intensities=intens,
+                mobilities=np.zeros(0, np.float32),
+                total_ion_current=np.float32(intens.sum()),
+            )
+        )
+    params = SearchParams(
+        precursor_tol=Tolerance("ppm", -20.0, 20.0),
+        fragment_tol=Tolerance("ppm", -10.0, 10.0),
+        min_isotope_err=-1, max_isotope_err=1,
+        report_psms=2, min_matched_peaks=2,
+    )
+    t_single = Scorer(db, params).score_table(spectra)
+    mesh = make_mesh(*shape)
+    t_mesh = ShardedScorer(db, mesh, params).score_table(spectra)
+    assert len(t_mesh) == len(t_single) > 0
+    for k in t_single.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_mesh.columns[k], t_single.columns[k], err_msg=f"column {k}"
+        )
