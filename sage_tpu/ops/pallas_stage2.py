@@ -50,66 +50,80 @@ def _kernel(
     # outputs
     out_ref,     # [1, 8, G2] f32 block
     # scratch
-    ti, tp, ma, mbmy,
+    ti, tp, bb, bm, ma, mbmy,
     *, L, SLp, Pk, Z, S, is_nterm, tol,
 ):
     step = pl.program_id(0)
     base = step * G2
     kind, tlo, thi = tol
 
+    # ---- dense pre-pass: per-charge window bounds for ALL items --------
+    f_all = lad_t_ref[0]                             # [SLp, G2]
+    for zi in range(Z):
+        z = np.float32(zi + 1)
+        mz_all = f_all / z
+        lo_all, hi_all = _tol_bounds(kind, tlo, thi, mz_all)
+        ti[zi] = lo_all                              # stage bounds in the
+        tp[zi] = hi_all                              # term scratch for now
+
+    # ---- per-item matching: only the [SLp, Pk] compare + two reductions
+    # stay in the unrolled loop; best intensity / best mass land in
+    # scratch columns for the dense post-pass
     for g in range(G2):
-        f_col = lad_t_ref[0, :, g : g + 1]          # [SLp, 1]
-        pk_row = pkm_ref[g : g + 1, :]              # [1, Pk]
+        pk_row = pkm_ref[g : g + 1, :]               # [1, Pk]
         pi_row = pki_ref[g : g + 1, :]
         maxz = maxz_ref[base + g]
-        mb_g = jnp.zeros((1, 1), jnp.int32)
-        my_g = jnp.zeros((1, 1), jnp.int32)
         for zi in range(Z):
-            z = np.float32(zi + 1)
-            mzc = f_col / z                          # [SLp, 1]
-            lo, hi = _tol_bounds(kind, tlo, thi, mzc)
-            inwin = (pk_row >= lo) & (pk_row <= hi)  # [SLp, Pk]
-            qual = inwin & (pi_row >= 0)
+            lo = ti[zi, :, g : g + 1]                # [SLp, 1]
+            hi = tp[zi, :, g : g + 1]
+            qual = (pk_row >= lo) & (pk_row <= hi) & (pi_row >= 0)
             if zi > 0:
                 qual = qual & ((zi + 1) < maxz)
             val = jnp.where(qual, pi_row, np.float32(-1.0))
             # most intense in-window peak; the matched peak's mass is the
             # max mass attaining it (masses ascend with index = ties to
             # the LATER index, spectrum.rs:150-157)
-            best = jnp.max(val, axis=1, keepdims=True)      # [SLp, 1]
+            best = jnp.max(val, axis=1, keepdims=True)       # [SLp, 1]
             bmass = jnp.max(
                 jnp.where(val == best, pk_row, np.float32(-np.inf)),
                 axis=1, keepdims=True,
             )
-            m = best >= 0                                   # [SLp, 1]
-            pk_i = jnp.where(m, best, np.float32(0.0))
-            pk_m = jnp.where(m, bmass, np.float32(0.0))
-            # intensity-weighted ppm term (scoring.rs:719-720)
-            d = jnp.abs(mzc - pk_m)
-            den = mzc + pk_m
-            ppm_t = jnp.where(
-                m,
-                ((pk_i * d) * np.float32(2e6))
-                / jnp.where(den == 0, np.float32(1.0), den),
-                np.float32(0.0),
-            )
-            ti[zi, :, g : g + 1] = pk_i
-            tp[zi, :, g : g + 1] = ppm_t
-            if zi == 0:
-                ma[:, g : g + 1] = m.astype(jnp.int32)
+            bb[zi, :, g : g + 1] = best
+            bm[zi, :, g : g + 1] = bmass
+
+    # ---- dense post-pass: matched masks, intensity/ppm terms, mb/my ----
+    mb_acc = jnp.zeros((1, G2), jnp.int32)
+    my_acc = jnp.zeros((1, G2), jnp.int32)
+    for zi in range(Z):
+        z = np.float32(zi + 1)
+        best = bb[zi]                                # [SLp, G2]
+        m = best >= 0
+        mi = m.astype(jnp.int32)
+        pk_i = jnp.where(m, best, np.float32(0.0))
+        pk_m = jnp.where(m, bm[zi], np.float32(0.0))
+        mzc = f_all / z
+        d = jnp.abs(mzc - pk_m)
+        den = mzc + pk_m
+        ppm_t = jnp.where(
+            m,
+            ((pk_i * d) * np.float32(2e6))
+            / jnp.where(den == 0, np.float32(1.0), den),
+            np.float32(0.0),
+        )
+        ti[zi] = pk_i
+        tp[zi] = ppm_t
+        if zi == 0:
+            ma[:, :] = mi
+        else:
+            ma[:, :] = ma[:, :] | mi
+        for s in range(S):
+            cnt = jnp.sum(mi[s * L : (s + 1) * L, :], axis=0, keepdims=True)
+            if is_nterm[s]:
+                mb_acc = mb_acc + cnt
             else:
-                ma[:, g : g + 1] = ma[:, g : g + 1] | m.astype(jnp.int32)
-            mi = m.astype(jnp.int32)
-            for s in range(S):
-                cnt = jnp.sum(
-                    mi[s * L : (s + 1) * L, :], axis=0, keepdims=True
-                )
-                if is_nterm[s]:
-                    mb_g = mb_g + cnt
-                else:
-                    my_g = my_g + cnt
-        mbmy[0:1, g : g + 1] = mb_g
-        mbmy[1:2, g : g + 1] = my_g
+                my_acc = my_acc + cnt
+    mbmy[0:1, :] = mb_acc
+    mbmy[1:2, :] = my_acc
 
     # ---- sequential phase: all G2 items lane-parallel -------------------
     zero = jnp.zeros((1, G2), jnp.float32)
@@ -194,8 +208,10 @@ def stage2_pallas_call(
             (1, 8, G2), lambda s, *_: (s, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((Z, SLp, G2), jnp.float32),   # intensity terms
-            pltpu.VMEM((Z, SLp, G2), jnp.float32),   # ppm terms
+            pltpu.VMEM((Z, SLp, G2), jnp.float32),   # bounds -> intensity terms
+            pltpu.VMEM((Z, SLp, G2), jnp.float32),   # bounds -> ppm terms
+            pltpu.VMEM((Z, SLp, G2), jnp.float32),   # best intensity per z
+            pltpu.VMEM((Z, SLp, G2), jnp.float32),   # best mass per z
             pltpu.VMEM((SLp, G2), jnp.int32),        # matched-any-z
             pltpu.VMEM((2, G2), jnp.int32),          # mb/my counts
         ],
