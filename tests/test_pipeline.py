@@ -176,3 +176,33 @@ def test_html_report(tmp_path):
     ):
         assert needle in htm, needle
     assert htm.count("<svg") >= 4
+
+
+def test_multi_file_run(tmp_path):
+    """Two input files: per-file file_id/filename columns, global RT
+    alignment across runs (retention_alignment.rs:95-173), and one merged
+    FDR pass."""
+    import shutil
+
+    src = "/root/reference/tests/LQSRPAAPPAPGPGQLTLR.mzML"
+    a = tmp_path / "run_a.mzML"
+    b = tmp_path / "run_b.mzML"
+    shutil.copy(src, a)
+    shutil.copy(src, b)
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    cfg = json.loads(json.dumps(CONFIG))
+    cfg["mzml_paths"] = [str(a), str(b)]
+    search = build_search(cfg, output_directory=str(tmp_path))
+    result = Runner(search).run()
+    feats = result["features"]
+    assert len(feats) == 2
+    assert sorted(feats.columns["file_id"].tolist()) == [0, 1]
+    tsv = (tmp_path / "results.sage.tsv").read_text().splitlines()
+    assert len(tsv) == 3
+    names = {ln.split("\t")[6] for ln in tsv[1:]}
+    assert names == {"run_a.mzML", "run_b.mzML"}
+    # both files found the same golden peptide
+    peptides = {ln.split("\t")[1] for ln in tsv[1:]}
+    assert peptides == {"LQSRPAAPPAPGPGQLTLR"}
