@@ -320,9 +320,25 @@ class ShardedSearch:
                 )
 
             def row_items(pk, pki_row, peps, mz, vals_row):
-                return jax.vmap(
-                    lambda pg, hv: item(pk, pki_row, pg, mz, hv > 0)
-                )(peps, vals_row)
+                # chunk the K-candidate rescore (scan over chunks) so the
+                # [chunk, S, L, Pk] intermediates stay bounded — the
+                # sharded demo path rescores all top-K without the fused
+                # path's matched>0 compaction
+                CH = 10
+                KK = peps.shape[0]
+                pad = (-KK) % CH
+                peps_c = jnp.pad(peps, (0, pad)).reshape(-1, CH)
+                vals_c = jnp.pad(vals_row, (0, pad)).reshape(-1, CH)
+
+                def chunk(carry, pv):
+                    p, v = pv
+                    out = jax.vmap(
+                        lambda pg, hv: item(pk, pki_row, pg, mz, hv > 0)
+                    )(p, v)
+                    return carry, out
+
+                _, outs = jax.lax.scan(chunk, 0, (peps_c, vals_c))
+                return tuple(o.reshape(-1)[:KK] for o in outs)
 
             feats = jax.vmap(row_items)(
                 peaks, intens, gpep, maxz, gvals
