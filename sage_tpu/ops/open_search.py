@@ -169,12 +169,56 @@ class OpenSearcher:
             lens[:, zi * Pk : (zi + 1) * Pk] = np.maximum(e - s, 0)
         return starts, lens
 
+    # device-memory budget for the [B, F] entry matrices; batches whose
+    # (spectra x max-entries) footprint exceeds it are split (deep open
+    # searches on large proteomes can reach 10^5 entries per spectrum)
+    MAX_ELEMENTS = 64 << 20
+
     def preliminary_packed(
         self, masses: np.ndarray, rows: Dict[str, np.ndarray],
         maxz: np.ndarray, R: int, Zb: int,
     ) -> np.ndarray:
         """Packed i32 [R, 2K+2] preliminary result for the given query
-        rows (same layout as the candidate-major top-k path)."""
+        rows (same layout as the candidate-major top-k path). Splits into
+        spectrum sub-batches when the ragged-entry matrices would exceed
+        the element budget."""
+        B = masses.shape[0]
+        if B > 1:
+            _, lens0 = self.ranges(masses, Zb)
+            F_est = int(lens0.sum(axis=1).max()) + 1
+            if B * F_est > self.MAX_ELEMENTS:
+                # halve the spectrum batch; rows partition cleanly because
+                # they reference spectra by index (spectrum-major order)
+                mid = B // 2
+                si = rows["si"]
+                left = si < mid
+                n_rows = si.size
+                maxz_rows = maxz[:n_rows]
+                out = np.zeros((R, 2 * self.K + 2), np.int32)
+                off = 0
+                for sel, m_lo, m_hi, si_off in (
+                    (left, 0, mid, 0),
+                    (~left, mid, B, mid),
+                ):
+                    sub_rows = {
+                        k: (v[sel] - (si_off if k == "si" else 0))
+                        for k, v in rows.items()
+                    }
+                    n_sub = int(sel.sum())
+                    R_sub = max(((n_sub + 7) // 8) * 8, 8)
+                    mz_sub = np.full(R_sub, 2, np.int32)
+                    mz_sub[:n_sub] = maxz_rows[sel]
+                    sub = np.asarray(
+                        jax.device_get(
+                            self.preliminary_packed(
+                                masses[m_lo:m_hi], sub_rows, mz_sub,
+                                R_sub, Zb,
+                            )
+                        )
+                    )
+                    out[off : off + n_sub] = sub[:n_sub]
+                    off += n_sub
+                return out
         starts, lens = self.ranges(masses, Zb)
         totals = lens.reshape(masses.shape[0], -1).sum(axis=1)
         # F strictly greater than any spectrum's total so trailing empty

@@ -126,3 +126,27 @@ def test_open_prelim_counts_match_index_query(db, monkeypatch):
             best = max(expected.items(), key=lambda kv: (kv[1], kv[0]))
             top = max(got.items(), key=lambda kv: (kv[1], kv[0]))
             assert best == top
+
+
+def test_open_search_subbatch_split(db, monkeypatch):
+    """The memory-budget split must not change results: force a tiny
+    element budget so every batch recursively halves."""
+    from sage_tpu.ops import open_search as osmod
+
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        min_isotope_err=-1, max_isotope_err=1,
+    )
+    spectra = _spectra(db, 24, seed=21)
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    t_whole = Scorer(db, sp).score_table(spectra)
+    monkeypatch.setattr(osmod.OpenSearcher, "MAX_ELEMENTS", 20000)
+    t_split = Scorer(db, sp).score_table(spectra)
+    assert len(t_split) == len(t_whole) > 0
+    for k in t_whole.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_split.columns[k], t_whole.columns[k], err_msg=f"column {k}"
+        )
