@@ -404,17 +404,34 @@ def read_mzml(
     ms_level: Optional[int] = None,
 ) -> List[RawSpectrum]:
     """Read an mzML (or .mzML.gz) file from local disk; prefers the C
-    fast-path scanner with the Python state machine as fallback."""
+    fast-path scanner with the Python state machine as fallback. Files
+    too large to hold in memory stream through the Python parser."""
+    import os as _os
+
+    # 2 GiB of XML: above this, skip the whole-document C scanner and
+    # stream (bounded memory; gz sizes are pre-decompression so the cap
+    # is conservative)
+    STREAM_ABOVE = 2 << 30
+    try:
+        big = _os.path.getsize(path) > (
+            STREAM_ABOVE // 4 if path.lower().endswith(".gz") else STREAM_ABOVE
+        )
+    except OSError:
+        big = False
+    reader_kwargs = dict(
+        file_id=file_id, ms_level=ms_level, signal_to_noise=signal_to_noise
+    )
     if path.lower().endswith(".gz"):
         with gzip.open(path, "rb") as fh:
+            if big:
+                return MzMLReader(**reader_kwargs).parse(fh)
             data = fh.read()
     else:
         with open(path, "rb") as fh:
+            if big:
+                return MzMLReader(**reader_kwargs).parse(fh)
             data = fh.read()
-    return _parse_bytes(
-        data, file_id=file_id, signal_to_noise=signal_to_noise,
-        ms_level=ms_level,
-    )
+    return _parse_bytes(data, **reader_kwargs)
 
 
 def _parse_chunk(args):

@@ -27,23 +27,31 @@ _lib = None
 
 
 def _build() -> bool:
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            # Build into a temp file then atomically rename, so concurrent
-            # test workers can't observe a partially written .so.
-            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
-            os.close(fd)
-            subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", *_SRC_PATHS, "-o", tmp, "-lm", "-lz"],
-                check=True,
-                capture_output=True,
-            )
-            os.replace(tmp, _SO_PATH)
-            return True
-        except (OSError, subprocess.CalledProcessError):
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            continue
+    # The mzML scanner needs zlib; if linking -lz fails (no zlib dev
+    # files), fall back to building the other helpers without it so the
+    # deisotope/f32-sum fast paths keep working.
+    variants = [
+        (_SRC_PATHS, ["-lm", "-lz"]),
+        ([p for p in _SRC_PATHS if not p.endswith("mzml_scan.c")], ["-lm"]),
+    ]
+    for srcs, libs in variants:
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                # Build into a temp file then atomically rename, so
+                # concurrent test workers can't observe a partial .so.
+                fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+                os.close(fd)
+                subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", *srcs, "-o", tmp, *libs],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, _SO_PATH)
+                return True
+            except (OSError, subprocess.CalledProcessError):
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                continue
     return False
 
 
@@ -97,24 +105,25 @@ def _load():
         ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(ctypes.c_int32),
     ]
-    lib.mzml_scan.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_int64,
-        ctypes.c_void_p,
-        ctypes.c_int64,
-    ]
-    lib.mzml_scan.restype = ctypes.c_long
-    lib.mzml_rec_size.restype = ctypes.c_int64
-    lib.mzml_decode_binary.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int64,
-    ]
-    lib.mzml_decode_binary.restype = ctypes.c_long
+    if hasattr(lib, "mzml_scan"):  # absent when zlib was unavailable
+        lib.mzml_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.mzml_scan.restype = ctypes.c_long
+        lib.mzml_rec_size.restype = ctypes.c_int64
+        lib.mzml_decode_binary.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        lib.mzml_decode_binary.restype = ctypes.c_long
     _lib = lib
     return _lib
 

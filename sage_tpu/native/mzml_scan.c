@@ -18,9 +18,19 @@
  * caller falls back to the Python parser.
  */
 
+#define _GNU_SOURCE  /* strtod_l, newlocale */
+#include <locale.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+
+/* locale-independent strtod: XML numbers are always C-locale formatted,
+ * but strtod honors LC_NUMERIC (set by unrelated libraries) */
+static locale_t c_locale(void) {
+    static locale_t loc = (locale_t)0;
+    if (loc == (locale_t)0) loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    return loc;
+}
 
 #define MAXP 4
 #define MAXA 4
@@ -94,7 +104,7 @@ static double attr_f(const char *tag, const char *tag_end, const char *name,
     memcpy(buf, v, n);
     buf[n] = 0;
     *ok = 1;
-    return strtod(buf, NULL);
+    return strtod_l(buf, NULL, c_locale());
 }
 
 static int tag_is(const char *name, long nlen, const char *want) {
@@ -112,7 +122,7 @@ long mzml_scan(const char *d, int64_t n, rec_t *out, int64_t max_rec) {
     int64_t count = 0;
 
     int in_spectrum = 0, in_scan = 0, in_sel = 0, in_iso = 0, in_bda = 0,
-        in_prec = 0, in_speclist_skip = 0;
+        in_prec = 0;
     /* running binary-array state persists across arrays (parser parity) */
     int compression = 0, dtype_f64 = 1;
     int binary_kind = -2; /* -2 unset, -1 unknown-cv, 0 mz, 1 int, 2 noise */
@@ -297,10 +307,15 @@ long mzml_scan(const char *d, int64_t n, rec_t *out, int64_t max_rec) {
                     } else if (code == 1002815) {
                         /* mobility on the scan applies to the NEXT/current
                          * precursor context (mzml.rs:275-277): stash on
-                         * precursor 0 slot if none open */
-                        int slot = cur_prec >= 0 ? cur_prec : 0;
-                        r->p_im[slot] = attr_f(lt, tag_end, "value", &ok);
-                        r->p_has_im[slot] = ok;
+                         * the next UNCOMMITTED slot — after the precursor
+                         * list closed this lands in a slot that is never
+                         * committed, matching the Python parser's
+                         * discarded dangling Precursor object */
+                        int slot = cur_prec >= 0 ? cur_prec : (int)r->n_prec;
+                        if (slot < MAXP) {
+                            r->p_im[slot] = attr_f(lt, tag_end, "value", &ok);
+                            r->p_has_im[slot] = ok;
+                        }
                     }
                 } else if (!in_prec && !in_bda) {
                     /* direct child of <spectrum> */

@@ -176,16 +176,17 @@ class OpenSearcher:
 
     def preliminary_packed(
         self, masses: np.ndarray, rows: Dict[str, np.ndarray],
-        maxz: np.ndarray, R: int, Zb: int,
+        maxz: np.ndarray, R: int, Zb: int, _ranges=None,
     ) -> np.ndarray:
         """Packed i32 [R, 2K+2] preliminary result for the given query
         rows (same layout as the candidate-major top-k path). Splits into
         spectrum sub-batches when the ragged-entry matrices would exceed
-        the element budget."""
+        the element budget (ranges are computed once and sliced through
+        the recursion)."""
         B = masses.shape[0]
+        starts, lens = self.ranges(masses, Zb) if _ranges is None else _ranges
         if B > 1:
-            _, lens0 = self.ranges(masses, Zb)
-            F_est = int(lens0.sum(axis=1).max()) + 1
+            F_est = int(lens.sum(axis=1).max()) + 1
             if B * F_est > self.MAX_ELEMENTS:
                 # halve the spectrum batch; rows partition cleanly because
                 # they reference spectra by index (spectrum-major order)
@@ -213,13 +214,15 @@ class OpenSearcher:
                             self.preliminary_packed(
                                 masses[m_lo:m_hi], sub_rows, mz_sub,
                                 R_sub, Zb,
+                                _ranges=(
+                                    starts[m_lo:m_hi], lens[m_lo:m_hi]
+                                ),
                             )
                         )
                     )
                     out[off : off + n_sub] = sub[:n_sub]
                     off += n_sub
                 return out
-        starts, lens = self.ranges(masses, Zb)
         totals = lens.reshape(masses.shape[0], -1).sum(axis=1)
         # F strictly greater than any spectrum's total so trailing empty
         # windows scatter their offset deltas past the last real entry;

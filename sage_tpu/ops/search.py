@@ -81,6 +81,25 @@ def max_fragment_charge(cfg: Optional[int], precursor_charge: int) -> int:
     return max(min(precursor_charge, cap), 2)
 
 
+def merge_prescore_candidates(m, pp, ss, zz, ii, K):
+    """Host merge of flattened per-row candidates into the per-spectrum
+    top-K with the PreScore ordering (matched desc, peptide desc, charge
+    desc, isotope desc within each spectrum — scoring.rs:43-49 +
+    trim_hits). Returns the selected indices into the flat arrays, in
+    merged order. THE single definition of the tie rule shared by the
+    single-device and sharded scorers."""
+    keep = m > 0
+    order = np.lexsort((-ii[keep], -zz[keep], -pp[keep], -m[keep], ss[keep]))
+    sel = np.flatnonzero(keep)[order]
+    ssel = ss[sel]
+    if ssel.size:
+        starts = np.r_[0, np.flatnonzero(np.diff(ssel)) + 1]
+        group_start = np.repeat(starts, np.diff(np.r_[starts, ssel.size]))
+        rank = np.arange(ssel.size) - group_start
+        sel = sel[rank < K]
+    return sel
+
+
 def _pad_count(n: int) -> int:
     """Batch-axis padding: powers of two up to 2048, then multiples of
     2048. Bounds both the number of compiled executables (a few dozen at
@@ -840,7 +859,10 @@ class Scorer:
         # stages reuse the single upload (uploads dominate on tunneled
         # links).
         peaks_dev = jnp.asarray(np.stack([masses, intens]))
-        fd = self._fused_dispatch(spectra, masses, intens, Pk, peaks_dev)
+        rows = self._expand_rows(spectra)
+        fd = self._fused_dispatch(
+            spectra, masses, intens, Pk, peaks_dev, rows=rows
+        )
         if fd is not None:
             t = self._fused_finalize(spectra, fd, masses, intens, Pk)
             if t is not None:
@@ -849,7 +871,11 @@ class Scorer:
                 "fused candidate budget overflow; re-running batch via the "
                 "two-dispatch path"
             )
-        prelim = self._preliminary(spectra, masses=masses, peaks_dev=peaks_dev)
+        prelim = self._prelim_finalize(
+            self._prelim_dispatch(
+                spectra, masses=masses, peaks_dev=peaks_dev, rows=rows
+            )
+        )
         return self._features_table(
             spectra, prelim, masses, intens, Pk, self.params.report_psms,
             peaks_dev=peaks_dev,
@@ -881,10 +907,13 @@ class Scorer:
                 "peaks_dev": peaks_dev,
                 "d1": None, "prelim": None, "d2": None, "fd": None,
             }
-            e["fd"] = self._fused_dispatch(batch, masses, intens, Pk, peaks_dev)
+            rows = self._expand_rows(batch)
+            e["fd"] = self._fused_dispatch(
+                batch, masses, intens, Pk, peaks_dev, rows=rows
+            )
             if e["fd"] is None:
                 e["d1"] = self._prelim_dispatch(
-                    batch, masses=masses, peaks_dev=peaks_dev
+                    batch, masses=masses, peaks_dev=peaks_dev, rows=rows
                 )
             return e
 
@@ -977,14 +1006,28 @@ class Scorer:
                 finally:
                     # On ANY early exit (consumer exception, GeneratorExit
                     # from an abandoned generator) the worker must be
-                    # released or executor shutdown hangs: q2 is unbounded
-                    # so the worker never blocks on put — a trailing _END
-                    # always reaches it, and draining q2 confirms exit.
+                    # released or executor shutdown hangs. The worker posts
+                    # _END after normal completion AND after posting an
+                    # exception, so draining q2 always terminates; q1 may
+                    # be full with a dead worker, hence put_nowait retries
+                    # interleaved with q2 drains.
                     if not done_feeding:
                         done_feeding = True
-                        q1.put(_END)
-                        while q2.get() is not _END:
-                            pass
+                        ended = False
+                        while True:
+                            try:
+                                q1.put_nowait(_END)
+                                break
+                            except _q.Full:
+                                try:
+                                    if q2.get(timeout=0.2) is _END:
+                                        ended = True
+                                        break
+                                except _q.Empty:
+                                    continue
+                        while not ended:
+                            if q2.get() is _END:
+                                ended = True
             return
 
         # single-threaded fallback: sliding window of depth A. Empty
@@ -1041,7 +1084,6 @@ class Scorer:
         tables = self.tables
         series = self.series
         frag_tol = self.params.fragment_tol
-        n_series = self.n_series
         L = tables.L
         cfg = self.params.max_fragment_charge
         Zcap = self.Z
@@ -1090,7 +1132,6 @@ class Scorer:
             c_z = compact(z_s)
             c_iso = compact(iso_s)
             c_spec = compact(spec_ids)
-            c_m = compact(m_s)
 
             # stage 2 on the compacted items
             cap = jnp.minimum(c_z, cfg + 1) if cfg is not None else c_z
@@ -1152,10 +1193,12 @@ class Scorer:
             )
         return self._stage1_cache[key]
 
-    def _fused_dispatch(self, spectra, masses, intens, Pk, peaks_dev):
+    def _fused_dispatch(self, spectra, masses, intens, Pk, peaks_dev,
+                        rows=None):
         """Try the fused path; returns None when its preconditions don't
         hold (non-uniform row counts, wide window, open search, huge
-        table)."""
+        table). ``rows`` may be passed in so a fallback to the classic
+        path doesn't re-expand."""
         import os
 
         # bit-packing preconditions (see _build_fused's output layout)
@@ -1170,7 +1213,12 @@ class Scorer:
             return None
         if os.environ.get("SAGE_TPU_FUSED", "1") == "0":
             return None
-        rows = self._expand_rows(spectra)
+        if rows is None:
+            rows = self._expand_rows(spectra)
+        # file-annotated precursor charges bypass max_precursor_charge, so
+        # the 5-bit charge lane must be checked against the actual rows
+        if rows["z"].size and int(rows["z"].max()) >= 32:
+            return None
         n_rows = rows["si"].size
         n_spec = len(spectra)
         if n_rows == 0 or n_rows % n_spec != 0:
@@ -1262,13 +1310,15 @@ class Scorer:
             spectra, prelim, d2, self.params.report_psms, None, masses, Pk
         )
 
-    def _prelim_dispatch(self, spectra, masses=None, peaks_dev=None):
+    def _prelim_dispatch(self, spectra, masses=None, peaks_dev=None,
+                         rows=None):
         """Stage 1 + vectorized merge: per spectrum, the top-K preliminary
         candidates with the PreScore ordering (matched, peptide, charge,
         isotope — scoring.rs:43-49) plus Poisson statistics. Returns flat
         arrays grouped by spectrum (``spec_of`` ascending)."""
         p = self.params
-        rows = self._expand_rows(spectra)
+        if rows is None:
+            rows = self._expand_rows(spectra)
         if masses is None:
             masses, intens, Pk = self._pad_peaks(spectra)
             if peaks_dev is None:
@@ -1367,24 +1417,14 @@ class Scorer:
         ss = np.repeat(spec_idx[:n_rows], k_row)
         zz = np.repeat(row_z[:n_rows], k_row)
         ii = np.repeat(row_iso[:n_rows], k_row)
-        keep = m > 0
-        m, pp, ss, zz, ii = m[keep], pp[keep], ss[keep], zz[keep], ii[keep]
-        order = np.lexsort((-ii, -zz, -pp, -m, ss))
-        m, pp, ss, zz, ii = m[order], pp[order], ss[order], zz[order], ii[order]
-        # rank within spectrum group; keep the top K
-        if ss.size:
-            starts = np.r_[0, np.flatnonzero(np.diff(ss)) + 1]
-            group_start = np.repeat(starts, np.diff(np.r_[starts, ss.size]))
-            rank = np.arange(ss.size) - group_start
-            sel = rank < K
-            m, pp, ss, zz, ii = m[sel], pp[sel], ss[sel], zz[sel], ii[sel]
+        sel = merge_prescore_candidates(m, pp, ss, zz, ii, K)
 
         return {
-            "cand_matched": m.astype(np.int32),
-            "cand_pep": pp.astype(np.int32),
-            "cand_spec": ss.astype(np.int32),
-            "cand_charge": zz.astype(np.int32),
-            "cand_iso": ii.astype(np.int32),
+            "cand_matched": m[sel].astype(np.int32),
+            "cand_pep": pp[sel].astype(np.int32),
+            "cand_spec": ss[sel].astype(np.int32),
+            "cand_charge": zz[sel].astype(np.int32),
+            "cand_iso": ii[sel].astype(np.int32),
             "spec_matched": spec_matched,
             "spec_scored": spec_scored,
         }

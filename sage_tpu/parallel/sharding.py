@@ -470,8 +470,11 @@ class ShardedScorer:
         row_mtot = np.asarray(out[9])
         row_scored = np.asarray(out[10])
 
-        # flatten (row, k), drop zero-matched, host-merge with the
-        # PreScore ordering — identical to Scorer._prelim_finalize
+        # flatten (row, k), drop zero-matched, host-merge with the shared
+        # PreScore-ordering helper (one tie-rule definition for both the
+        # single-device and sharded paths)
+        from ..ops.search import merge_prescore_candidates
+
         K = h.K
         m = counts[:n_rows].ravel()
         pp = pep[:n_rows].ravel()
@@ -479,18 +482,8 @@ class ShardedScorer:
         zz = np.repeat(rows["z"], K)
         ii = np.repeat(rows["iso"], K)
         fcols = [f[:n_rows].reshape(-1) for f in feats]
-        keep = m > 0
-        order = np.lexsort(
-            (-ii[keep], -zz[keep], -pp[keep], -m[keep], ss[keep])
-        )
-        sel = np.flatnonzero(keep)[order]
+        sel = merge_prescore_candidates(m, pp, ss, zz, ii, K)
         ssel = ss[sel]
-        if ssel.size:
-            starts = np.r_[0, np.flatnonzero(np.diff(ssel)) + 1]
-            group_start = np.repeat(starts, np.diff(np.r_[starts, ssel.size]))
-            rank = np.arange(ssel.size) - group_start
-            sel = sel[rank < K]
-            ssel = ss[sel]
 
         spec_matched = np.bincount(
             rows["si"], weights=row_mtot[:n_rows], minlength=n_spec
