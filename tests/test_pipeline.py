@@ -206,3 +206,68 @@ def test_multi_file_run(tmp_path):
     # both files found the same golden peptide
     peptides = {ln.split("\t")[1] for ln in tsv[1:]}
     assert peptides == {"LQSRPAAPPAPGPGQLTLR"}
+
+
+def test_tmt_quant_e2e(tmp_path):
+    """MS2-level TMT: reporter ions extracted per spectrum into tmt.tsv
+    and the nested parquet reporter_ion_intensity column (tmt.rs:314-352,
+    parquet.rs:75-83)."""
+    pytest.importorskip("pyarrow")
+    import base64
+    import zlib as _zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sage_tpu.quant.tmt import TMT6PLEX
+    from sage_tpu.chem.mass import PROTON
+
+    # take the golden spectrum and splice TMT6 reporter peaks into it
+    from sage_tpu.io.mzml import read_mzml
+
+    raw = read_mzml("/root/reference/tests/LQSRPAAPPAPGPGQLTLR.mzML")[0]
+    rep_mz = TMT6PLEX.astype(np.float64)  # stored as m/z (already [M+H]+)
+    rep_int = np.linspace(1e7, 6e7, 6)  # above top-N selection cutoff
+    mz = np.concatenate([rep_mz, raw.mz.astype(np.float64)])
+    inten = np.concatenate([rep_int.astype(np.float32), raw.intensity])
+    order = np.argsort(mz)
+    mz, inten = mz[order], inten[order]
+
+    def enc(arr, dtype):
+        return base64.b64encode(
+            _zlib.compress(np.asarray(arr, dtype).tobytes())
+        ).decode()
+
+    prec = raw.precursors[0]
+    doc = f'''<?xml version="1.0"?><mzML><run><spectrumList>
+<spectrum id="{raw.id}"><cvParam accession="MS:1000511" value="2"/>
+<cvParam accession="MS:1000127" value=""/>
+<cvParam accession="MS:1000285" value="{float(inten.sum())}"/>
+<scanList><scan><cvParam accession="MS:1000016" value="10.0" unitAccession="UO:0000031"/>
+<cvParam accession="MS:1000927" value="55.0"/></scan></scanList>
+<precursorList><precursor><selectedIonList><selectedIon>
+<cvParam accession="MS:1000744" value="{prec.mz}"/>
+<cvParam accession="MS:1000041" value="{prec.charge}"/>
+</selectedIon></selectedIonList></precursor></precursorList>
+<binaryDataArrayList>
+<binaryDataArray><cvParam accession="MS:1000523" value=""/><cvParam accession="MS:1000574" value=""/><cvParam accession="MS:1000514" value=""/><binary>{enc(mz, np.float64)}</binary></binaryDataArray>
+<binaryDataArray><cvParam accession="MS:1000521" value=""/><cvParam accession="MS:1000574" value=""/><cvParam accession="MS:1000515" value=""/><binary>{enc(inten, np.float32)}</binary></binaryDataArray>
+</binaryDataArrayList></spectrum></spectrumList></run></mzML>'''
+    path = tmp_path / "tmt.mzML"
+    path.write_text(doc)
+
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    cfg = json.loads(json.dumps(CONFIG))
+    cfg["mzml_paths"] = [str(path)]
+    cfg["deisotope"] = False
+    cfg["quant"] = {"tmt": "Tmt6", "tmt_settings": {"level": 2}}
+    search = build_search(cfg, output_directory=str(tmp_path), parquet=True)
+    Runner(search).run()
+
+    res = pq.read_table(str(tmp_path / "results.sage.parquet"))
+    assert "reporter_ion_intensity" in res.schema.names
+    reps = res.to_pydict()["reporter_ion_intensity"][0]
+    assert len(reps) == 6
+    np.testing.assert_allclose(reps, rep_int, rtol=1e-5)
