@@ -1076,9 +1076,11 @@ class Scorer:
         stage-1 shape (W <= K); the classic two-dispatch path remains for
         everything else and as the overflow fallback."""
         R = S_pad * G_rows
-        K0 = min(self.K, G_rows * W)
         stage1_fn, counts_only = self._stage1(W, Pk, R, Zb)
-        assert counts_only
+        # per-row candidate width feeding the per-spectrum merge: the
+        # whole window (counts-only) or the row's device top-K
+        k_row = W if counts_only else self.K
+        K0 = min(self.K, G_rows * k_row)
         s1_trace = stage1_fn._traceable
         s1_tbl = stage1_fn._tbl
         tables = self.tables
@@ -1090,18 +1092,23 @@ class Scorer:
 
         def run_inner(tbl_s1, lad_full, peaks_dev, ints):
             # ints: [7, R] i32 (spec, p0, i0, i1, maxz, z, iso)
-            packed = s1_trace(tbl_s1, peaks_dev, ints[:5])  # [R, W+2]
-            counts = packed[:, :W]
-            mtot = packed[:, W]
-            scored = packed[:, W + 1]
-
-            p0 = ints[1]
-            pep = p0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-            z = jnp.broadcast_to(ints[5][:, None], (R, W))
-            iso = jnp.broadcast_to(ints[6][:, None], (R, W))
+            packed = s1_trace(tbl_s1, peaks_dev, ints[:5])
+            if counts_only:  # packed [R, W+2]
+                counts = packed[:, :W]
+                mtot = packed[:, W]
+                scored = packed[:, W + 1]
+                p0 = ints[1]
+                pep = p0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+            else:  # packed [R, 2K+2]: per-row top-K (vals, pep)
+                counts = packed[:, : self.K]
+                pep = packed[:, self.K : 2 * self.K]
+                mtot = packed[:, 2 * self.K]
+                scored = packed[:, 2 * self.K + 1]
+            z = jnp.broadcast_to(ints[5][:, None], (R, k_row))
+            iso = jnp.broadcast_to(ints[6][:, None], (R, k_row))
 
             def rs(x):
-                return x.reshape(S_pad, G_rows * W)
+                return x.reshape(S_pad, G_rows * k_row)
 
             m_s, pep_s, z_s, iso_s = jax.lax.sort(
                 (-rs(counts), -rs(pep), -rs(z), -rs(iso)),
@@ -1230,7 +1237,7 @@ class Scorer:
             return None
         max_win = int((rows["i1"] - rows["i0"]).max())
         W = min(next_power_of_two(max(max_win, 8)), self.tables.P_pad)
-        if W > self.K or self._open_path(W):
+        if self._open_path(W):
             return None
 
         S_pad = _pad_count(n_spec)
@@ -1248,8 +1255,16 @@ class Scorer:
         ints[5, :n_rows] = rows["z"]
         ints[6, :n_rows] = rows["iso"]
         Zb = min(max(int(maxz.max()) - 1, 1), self.Z)
-        # candidate budget: ~2 matched candidates/spectrum is typical; 3x
-        # headroom with the classic path as overflow fallback
+        # candidate budget: ~2 matched candidates/spectrum is typical on
+        # narrow annotated searches — the regime where fusing wins. Dense
+        # windows (big databases) match tens of candidates per spectrum;
+        # there the classic path's exact-size stage 2 beats the fused
+        # path's padded budget, so once measured density exceeds the
+        # budget's headroom, stop fusing (the density hint comes from
+        # _fused_finalize, including overflowed batches).
+        hint = getattr(self, "_bc_hint", None)
+        if hint is not None and hint[0] / max(hint[1], 1) > 2.5:
+            return None
         Bc = max(_pad_count(3 * n_spec), 2048)
 
         fn = self._fused(W, Pk, S_pad, G_rows, Zb, Bc)
@@ -1268,6 +1283,9 @@ class Scorer:
         Bc = d["Bc"]
         stats = packed[Bc : Bc + d["R"], :2]
         total = int(packed[-1, 0])
+        # feed the budget adaption (true total is counted even when the
+        # compaction clipped)
+        self._bc_hint = (total, d["n_spec"])
         if total > Bc:
             return None
         n_rows, n_spec = d["n_rows"], d["n_spec"]
