@@ -24,8 +24,10 @@ group's window DMAs behind the current group's compute. All f32 window
 math uses the same op order as the XLA path (ops/search.py
 count_fragment_matches), so the two paths are bit-identical.
 
-Only the counts-only shape (W <= K, the common narrow-search case) is
-implemented; wide windows fall back to the XLA top-k path.
+The kernel always emits the full [R, W+2] counts; for wide windows
+(W > K) the caller composes it with an XLA per-row top-K on device so
+only the packed [R, 2K+2] result is ever fetched (ops/search.py
+_build_stage1_pallas).
 """
 
 from __future__ import annotations
@@ -102,8 +104,8 @@ def _kernel(
                 lo_q = jnp.where(z_ok, lo_q, np.float32(np.inf))
                 hi_q = jnp.where(z_ok, hi_q, np.float32(np.inf))
             qb.append((lo_q, hi_q))
-        for w in range(W):
-            f_row = win[slot, g, w : w + 1, :]  # [1, SLp]
+        def per_candidate(w, _):
+            f_row = win[slot, g, pl.ds(w, 1), :]  # [1, SLp]
             acc = jnp.zeros((Pk, SLp), jnp.int32)
             for lo_q, hi_q in qb:
                 a = (f_row >= lo_q).astype(jnp.int32)   # [Pk, SLp]
@@ -111,7 +113,10 @@ def _kernel(
                 acc = acc + (a - b)
             # invalid fragments hold -inf and contribute 0 to a - b
             s = jnp.sum(acc, axis=0, keepdims=True)     # [1, SLp]
-            cnt[w : w + 1, g : g + 1] = jnp.sum(s, axis=1, keepdims=True)
+            cnt[pl.ds(w, 1), g : g + 1] = jnp.sum(s, axis=1, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, W, per_candidate, 0)
         p0 = p0_ref[base + g]
         gidx = p0 + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         valid = (gidx >= i0_ref[base + g]) & (gidx < i1_ref[base + g])

@@ -651,10 +651,10 @@ class Scorer:
             )
         return self._open
 
-    def _use_pallas(self, counts_only: bool) -> bool:
+    def _use_pallas(self, available: bool) -> bool:
         import os
 
-        if not counts_only or self.tables.lad2d_index is None:
+        if not available or self.tables.lad2d_index is None:
             return False
         env = os.environ.get("SAGE_TPU_PALLAS")
         if env is not None:
@@ -669,11 +669,31 @@ class Scorer:
         tol_s = (tol.kind, float(tol.lo), float(tol.hi))
         lad2d = tables.lad2d_index
         SLp = tables.SLp
+        counts_only = W <= self.K
+        K = self.K
 
         def traceable(tbl, peaks_dev, ints5):
-            return stage1_counts_pallas(
+            counts = stage1_counts_pallas(
                 tbl[0], peaks_dev, ints5[0], ints5[1], ints5[2], ints5[3],
                 ints5[4], W=W, SLp=SLp, Pk=Pk, Z=Z, R=R, tol=tol_s,
+            )  # packed i32 [R, W+2]
+            if counts_only:
+                return counts
+            # wide windows: per-row top-K in XLA on the kernel's counts
+            # (device-side intermediate, never fetched at width W)
+            c = counts[:, :W]
+            mtot = counts[:, W]
+            scored = counts[:, W + 1]
+
+            def per_row(cnt, p0):
+                rev = cnt[::-1]
+                vals, ridx = jax.lax.top_k(rev, K)
+                pep = p0 + (W - 1 - ridx)
+                return vals, pep
+
+            vals, pep = jax.vmap(per_row)(c, ints5[1])
+            return jnp.concatenate(
+                [vals, pep, mtot[:, None], scored[:, None]], axis=1
             )
 
         def run(peaks_dev, ints):
@@ -681,13 +701,25 @@ class Scorer:
 
         run._traceable = traceable
         run._tbl = (lad2d,)
-        return run, True
+        return run, counts_only
 
     def _stage1(self, W, Pk, R, Z):
         key = (W, Pk, R, Z)
         if key not in self._stage1_cache:
-            counts_only = W <= self.K
-            if self._use_pallas(counts_only):
+            # Pallas stage-1 wins at narrow windows (one fused program,
+            # VMEM-resident) but its per-candidate loop loses to XLA's
+            # fully-vectorized compare at wide windows (measured ~0.6x at
+            # W=256 on v5e) — so it engages by default only for W <= K.
+            # SAGE_TPU_PALLAS_WIDE=1 opts wide windows in (the kernel
+            # composes with an XLA top-K), subject to the 8 MiB VMEM cap
+            # on its double-buffered [2, G=8, W, SLp] window scratch.
+            import os
+
+            SLp = self.tables.SLp
+            fits = SLp > 0 and 2 * 8 * W * SLp * 4 <= (8 << 20)
+            if W > self.K:
+                fits = fits and os.environ.get("SAGE_TPU_PALLAS_WIDE") == "1"
+            if self._use_pallas(fits):
                 self._stage1_cache[key] = self._build_stage1_pallas(W, Pk, R, Z)
             else:
                 self._stage1_cache[key] = self._build_stage1(W, Pk, R, Z)
