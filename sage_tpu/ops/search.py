@@ -1420,6 +1420,53 @@ class Scorer:
                 "p0": p0, "spec_idx": spec_idx, "row_z": row_z,
                 "row_iso": row_iso,
             }
+        buckets = self._width_buckets(rows, n_rows, W)
+        if buckets is not None:
+            import os
+
+            if os.environ.get("SAGE_TPU_WIDTH_BUCKETS") == "0":
+                buckets = None
+        if buckets is not None:
+            # Dispatch each width class at its own (padded) window size:
+            # stage-1 compute is proportional to W x rows, and window
+            # widths are heavily skewed (p50 is typically ~1/5 of the
+            # pow2-padded max at proteome scale), so splitting recovers
+            # a 2-3x stage-1 speedup for two extra async dispatches.
+            outs = []
+            for Wb, idx in buckets:
+                nb = idx.size
+                Rb = _pad_count(nb)
+                sub = {
+                    "spec_idx": np.zeros(Rb, np.int32),
+                    "p0": np.zeros(Rb, np.int32),
+                    "i0": np.zeros(Rb, np.int32),
+                    "i1": np.zeros(Rb, np.int32),
+                    "maxz": np.full(Rb, 2, np.int32),
+                    "z": np.zeros(Rb, np.int32),
+                    "iso": np.zeros(Rb, np.int32),
+                }
+                sub["spec_idx"][:nb] = spec_idx[idx]
+                sub["p0"][:nb] = np.minimum(
+                    i0a[idx], self.tables.P_pad - Wb
+                )
+                sub["i0"][:nb] = i0a[idx]
+                sub["i1"][:nb] = i1a[idx]
+                sub["maxz"][:nb] = maxz[idx]
+                sub["z"][:nb] = row_z[idx]
+                sub["iso"][:nb] = row_iso[idx]
+                fnb, co_b = self._stage1(Wb, Pk, Rb, Zb)
+                ints_b = np.stack(
+                    [sub["spec_idx"], sub["p0"], sub["i0"], sub["i1"],
+                     sub["maxz"]]
+                )
+                out_b = fnb(peaks_dev, jnp.asarray(ints_b))
+                out_b.copy_to_host_async()
+                outs.append({
+                    "out_dev": out_b, "counts_only": co_b, "n_rows": nb,
+                    "W": Wb, "p0": sub["p0"], "spec_idx": sub["spec_idx"],
+                    "row_z": sub["z"], "row_iso": sub["iso"],
+                })
+            return {"buckets": outs, "n_spec": n_spec}
         fn, counts_only = self._stage1(W, Pk, R, Zb)
         ints = np.stack([spec_idx, p0, i0a, i1a, maxz])  # one upload
         out_dev = fn(peaks_dev, jnp.asarray(ints))
@@ -1432,41 +1479,89 @@ class Scorer:
             "p0": p0, "spec_idx": spec_idx, "row_z": row_z, "row_iso": row_iso,
         }
 
-    def _prelim_finalize(self, d):
+    @staticmethod
+    def _width_buckets(rows, n_rows, W):
+        """Split query rows into up to 3 pow2 window-width classes
+        (each row lands in the smallest class covering its precursor
+        window). Returns [(Wb, row_indices)] largest-first, or None when
+        a single dispatch is as good (few rows, narrow max width, or no
+        class would hold a meaningful share of rows)."""
+        if n_rows < 256 or W < 64:
+            return None
+        widths = (rows["i1"] - rows["i0"]).astype(np.int64)
+        levels = [W]
+        lvl = W // 2
+        while lvl >= 16 and len(levels) < 3:
+            levels.append(lvl)
+            lvl //= 2
+        if len(levels) < 2:
+            return None
+        lv = np.asarray(sorted(levels), np.int64)          # ascending
+        assign = np.searchsorted(lv, widths, side="left")  # smallest fit
+        counts = np.bincount(assign, minlength=lv.size)
+        # fold sparse classes upward: a class must hold >= 10% of rows
+        # (and >= 64 rows) to pay for its extra dispatch
+        floor = max(64, n_rows // 10)
+        for i in range(lv.size - 1):
+            if 0 < counts[i] < floor:
+                assign[assign == i] = i + 1
+                counts[i + 1] += counts[i]
+                counts[i] = 0
+        live = [i for i in range(lv.size) if counts[i] > 0]
+        if len(live) < 2:
+            return None
+        return [
+            (int(lv[i]), np.flatnonzero(assign == i))
+            for i in sorted(live, reverse=True)
+        ]
+
+    @staticmethod
+    def _prelim_part(d, K):
+        """Unpack one stage-1 dispatch into flat per-candidate arrays
+        (m, pep, spec, z, iso) plus per-row (spec, mtot, scored)."""
         out = jax.device_get(d["out_dev"])  # packed i32 [R, W+2 | 2K+2]
-        counts_only = d["counts_only"]
-        n_rows, n_spec, W = d["n_rows"], d["n_spec"], d["W"]
+        n_rows, W = d["n_rows"], d["W"]
         p0, spec_idx = d["p0"], d["spec_idx"]
-        row_z, row_iso = d["row_z"], d["row_iso"]
-        if counts_only:
+        if d["counts_only"]:
             counts = out[:n_rows, :W]
-            mtot, scored = out[:, W], out[:, W + 1]
+            mtot, scored = out[:n_rows, W], out[:n_rows, W + 1]
             # Reconstruct the (vals, pep) layout of the top-k path: the
             # whole window in reversed candidate order (peptide desc).
             vals = counts[:, ::-1]
             pep = p0[:n_rows, None] + (W - 1 - np.arange(W, dtype=np.int32))
         else:
-            K = self.K
             vals = out[:n_rows, :K]
             pep = out[:n_rows, K : 2 * K]
-            mtot, scored = out[:, 2 * K], out[:, 2 * K + 1]
-
-        # Per-spectrum Poisson stats (sum over this spectrum's rows).
-        spec_matched = np.bincount(
-            spec_idx[:n_rows], weights=mtot[:n_rows], minlength=n_spec
-        ).astype(np.int64)
-        spec_scored = np.bincount(
-            spec_idx[:n_rows], weights=scored[:n_rows], minlength=n_spec
-        ).astype(np.int64)
-
-        # Flatten (row, k) candidates, drop zero-matched, rank per spectrum.
-        K = self.K
+            mtot, scored = out[:n_rows, 2 * K], out[:n_rows, 2 * K + 1]
         k_row = vals.shape[1]
         m = vals.ravel()
         pp = np.broadcast_to(pep, (n_rows, k_row)).ravel()
         ss = np.repeat(spec_idx[:n_rows], k_row)
-        zz = np.repeat(row_z[:n_rows], k_row)
-        ii = np.repeat(row_iso[:n_rows], k_row)
+        zz = np.repeat(d["row_z"][:n_rows], k_row)
+        ii = np.repeat(d["row_iso"][:n_rows], k_row)
+        return m, pp, ss, zz, ii, spec_idx[:n_rows], mtot, scored
+
+    def _prelim_finalize(self, d):
+        K = self.K
+        n_spec = d["n_spec"]
+        parts = [
+            self._prelim_part(b, K) for b in d.get("buckets", (d,))
+        ]
+        if len(parts) == 1:
+            m, pp, ss, zz, ii, rspec, mtot, scored = parts[0]
+        else:
+            cols = [np.concatenate(c) for c in zip(*parts)]
+            m, pp, ss, zz, ii, rspec, mtot, scored = cols
+
+        # Per-spectrum Poisson stats (sum over this spectrum's rows).
+        spec_matched = np.bincount(
+            rspec, weights=mtot, minlength=n_spec
+        ).astype(np.int64)
+        spec_scored = np.bincount(
+            rspec, weights=scored, minlength=n_spec
+        ).astype(np.int64)
+
+        # Rank flattened candidates per spectrum (zero-matched dropped).
         sel = merge_prescore_candidates(m, pp, ss, zz, ii, K)
 
         return {

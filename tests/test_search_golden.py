@@ -248,3 +248,68 @@ def test_fused_matches_two_dispatch_wide_windows(monkeypatch):
         np.testing.assert_array_equal(
             t_fused.columns[k], t_classic.columns[k], err_msg=f"column {k}"
         )
+
+
+def test_width_bucketed_stage1_matches_single_dispatch(monkeypatch):
+    """Stage-1 width bucketing (rows dispatched at per-class window
+    widths) must be invisible: same PSM table as one max-width dispatch."""
+    from sage_tpu.chem.mass import PROTON
+    from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum
+
+    rng = np.random.default_rng(29)
+    AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    lines = []
+    for i in range(60):
+        seq = AA[rng.integers(0, len(AA), size=260)].tobytes().decode()
+        lines.append(f">sp|B{i:03d}|B{i}_SYN synthetic\n{seq}")
+    db_params = DatabaseParams()
+    db = db_params.build(
+        Fasta.parse("\n".join(lines), db_params.decoy_tag, True)
+    )
+    b, y = db.table.ladders()
+    targets = np.flatnonzero(db.table.lens >= 8)
+    spectra = []
+    for i in range(300):
+        p = int(targets[rng.integers(0, targets.size)])
+        n = int(db.table.lens[p]) - 1
+        frags = np.concatenate([b[p, :n], y[p, :n]])
+        take = frags[rng.random(frags.shape[0]) < 0.8]
+        masses = np.sort(take.astype(np.float32))
+        intens = rng.uniform(1.0, 1e5, masses.shape[0]).astype(np.float32)
+        spectra.append(
+            ProcessedSpectrum(
+                level=2, id=f"scan={i}", file_id=0, scan_start_time=0.01 * i,
+                ion_injection_time=1.0,
+                precursors=[
+                    Precursor(mz=float(db.table.mono[p]) / 2 + PROTON, charge=2)
+                ],
+                masses=masses, intensities=intens,
+                mobilities=np.zeros(0, np.float32),
+                total_ion_current=np.float32(intens.sum()),
+            )
+        )
+    # per-spectrum Da windows scale with precursor mass -> mixed widths
+    wide = SearchParams(
+        precursor_tol=Tolerance("da", -40.0, 40.0),
+        fragment_tol=Tolerance("ppm", -10.0, 10.0),
+        report_psms=2, min_matched_peaks=1,
+    )
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "999999999")
+    monkeypatch.setenv("SAGE_TPU_FUSED", "0")
+    s1 = Scorer(db, wide)
+    rows = s1._expand_rows(spectra)
+    buckets = s1._width_buckets(
+        rows, rows["si"].size,
+        int(2 ** np.ceil(np.log2(max(int((rows["i1"] - rows["i0"]).max()), 8))))
+    )
+    assert buckets is not None and len(buckets) >= 2, "test needs >=2 width classes"
+    t_bucketed = s1.score_table(spectra)
+    monkeypatch.setenv("SAGE_TPU_WIDTH_BUCKETS", "0")
+    t_single = Scorer(db, wide).score_table(spectra)
+    assert len(t_bucketed) == len(t_single) > 0
+    for k in t_single.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_bucketed.columns[k], t_single.columns[k], err_msg=f"column {k}"
+        )
