@@ -40,6 +40,7 @@ Returns the same packed [R, K*2+2] i32 layout as the top-k stage-1 path:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Sequence, Tuple
 
 import numpy as np
@@ -57,21 +58,24 @@ C_CHUNK = 128
 RC = C_CHUNK // V_ROW + 1
 
 
-@functools.partial(jax.jit, static_argnames=("F", "Wc", "Pk", "Z", "K", "R"))
-def _device_open_count(
-    frag_pep8,     # i32 [N_frag_pad / V_ROW, V_ROW] (HBM)
-    starts,        # i32 [B, Z*Pk] window range starts
-    lens,          # i32 [B, Z*Pk] window range lengths
-    row_spec,      # i32 [R] spectrum index per query row
-    row_i0,        # i32 [R] precursor candidate range
-    row_i1,        # i32 [R]
-    row_maxz,      # i32 [R] exclusive fragment-charge bound
-    *, F, Wc, Pk, Z, K, R,
-):
+def _quarter_octave(n: int) -> int:
+    """Smallest value >= n of the form (4..7) * 2^k — static-shape
+    padding with <= 4 buckets per octave and <= 12.5% mean waste."""
+    octave = 8
+    while octave * 2 <= n:
+        octave *= 2
+    return octave * (-(-n * 4 // octave)) // 4
+
+
+def _entries_chunked(frag_pep8, starts, lens, Wc, Pk, Z):
+    """Chunked wide-row gather: [B, F2] sort keys (+ z tags) where each
+    window occupies whole RC*V-slot chunks. Best when windows are long
+    (the gather moves 8 contiguous entries per descriptor); at short mean
+    window lengths the chunk padding dominates — use _entries_flat."""
     B, Wn = starts.shape
     N8 = frag_pep8.shape[0]
     bidx = jnp.arange(B)[:, None]
-    # ---- chunk descriptors: window w owns chunk slots [cumc0_w, cumc_w)
+    # chunk descriptors: window w owns chunk slots [cumc0_w, cumc_w)
     nc = (lens + (C_CHUNK - 1)) // C_CHUNK              # [B, Wn]
     cumc = jnp.cumsum(nc, axis=1)
     cumc0 = jnp.concatenate(
@@ -97,7 +101,7 @@ def _device_open_count(
     chunk_len = jnp.clip(win_len - cidx * C_CHUNK, 0, C_CHUNK)
     chunk_ok = (slot < tc[:, None]) & (chunk_len > 0)
     chunk_start = jnp.clip(chunk_start, 0, N8 * V_ROW - 1)
-    # ---- the hot gather: RC whole V-element rows per chunk
+    # the hot gather: RC whole V-element rows per chunk
     row0 = chunk_start // V_ROW
     a = chunk_start - row0 * V_ROW                      # alignment slop
     rowidx = row0[..., None] + jnp.arange(RC, dtype=jnp.int32)[None, None, :]
@@ -112,9 +116,78 @@ def _device_open_count(
     )
     F2 = Wc * RC * V_ROW
     neg = jnp.where(evalid, -g, np.int32(2**30)).reshape(B, F2)
+    if Z == 1:
+        return neg, None
+    # fragment-charge tag of each entry's window (z-major: w = (z-1)*Pk+pk)
+    z_of = jnp.broadcast_to(
+        (w_of // Pk + 1)[..., None], (B, Wc, RC * V_ROW)
+    ).reshape(B, F2)
+    return neg, z_of
+
+
+def _entries_flat(frag_pep8, starts, lens, F, Pk, Z):
+    """Ragged flatten + per-element gather: [B, F] sort keys with zero
+    slot padding (entry j of spectrum b reads frag index
+    src[b, j] = starts[b, w] + (j - cum[b, w-1]) for its window w).
+    Best when windows are short; the per-element gather is descriptor-
+    bound at long windows — use _entries_chunked there."""
+    B = starts.shape[0]
+    frag_pep = frag_pep8.reshape(-1)
+    cum = jnp.cumsum(lens, axis=1)                      # [B, W]
+    cum0 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1
+    )
+    total = cum[:, -1]                                  # [B]
+    # offset_w = starts[w] - cum0[w]; build per-entry offsets by
+    # scattering the boundary deltas and cumsum-ing.
+    off_w = starts - cum0                               # [B, W]
+    off_delta = jnp.concatenate(
+        [off_w[:, :1], off_w[:, 1:] - off_w[:, :-1]], axis=1
+    )
+    deltas = jnp.zeros((B, F), jnp.int32)
+    clip_pos = jnp.minimum(cum0, F - 1)
+    # windows with len 0 still carry their delta so later offsets stay
+    # correct; duplicate positions accumulate (scatter-add)
+    deltas = deltas.at[jnp.arange(B)[:, None], clip_pos].add(off_delta)
+    src = jnp.cumsum(deltas, axis=1) + jnp.arange(F, dtype=jnp.int32)[None, :]
+    jvalid = jnp.arange(F, dtype=jnp.int32)[None, :] < total[:, None]
+    src = jnp.clip(src, 0, frag_pep.shape[0] - 1)
+    pep = jnp.where(jvalid, frag_pep[src], np.int32(-1))   # [B, F]
+    neg = jnp.where(pep >= 0, -pep, np.int32(2**30))
+    if Z == 1:
+        return neg, None
+    # fragment-charge tag via the same boundary-cumsum trick
+    w_of = jnp.cumsum(
+        jnp.zeros((B, F), jnp.int32).at[
+            jnp.arange(B)[:, None], clip_pos
+        ].add(jnp.ones((B, starts.shape[1]), jnp.int32)),
+        axis=1,
+    ) - 1
+    z_of = jnp.clip(w_of, 0, Z * Pk - 1) // Pk + 1          # [B, F]
+    return neg, z_of
+
+
+@functools.partial(
+    jax.jit, static_argnames=("F", "Wc", "Pk", "Z", "K", "R", "chunked")
+)
+def _device_open_count(
+    frag_pep8,     # i32 [N_frag_pad / V_ROW, V_ROW] (HBM)
+    starts,        # i32 [B, Z*Pk] window range starts
+    lens,          # i32 [B, Z*Pk] window range lengths
+    row_spec,      # i32 [R] spectrum index per query row
+    row_i0,        # i32 [R] precursor candidate range
+    row_i1,        # i32 [R]
+    row_maxz,      # i32 [R] exclusive fragment-charge bound
+    *, F, Wc, Pk, Z, K, R, chunked,
+):
+    B = starts.shape[0]
+    if chunked:
+        neg, z_of = _entries_chunked(frag_pep8, starts, lens, Wc, Pk, Z)
+    else:
+        neg, z_of = _entries_flat(frag_pep8, starts, lens, F, Pk, Z)
     # ---- sort per spectrum by peptide DESCENDING; padding/slop sorts to
     # the tail, so the axis can be cut back to F (> any true entry count)
-    if Z == 1:
+    if z_of is None:
         # single fragment-charge plane: every entry's z tag is 1 and the
         # per-row bound is always >= 2, so the tag (and its extra sort
         # operand) is dead — sort the peptide key alone.
@@ -122,11 +195,6 @@ def _device_open_count(
         neg_sorted = neg_sorted[:, :F]
         z_sorted = None
     else:
-        # fragment-charge tag of each entry's window (windows laid out
-        # z-major: w = (z-1)*Pk + peak)
-        z_of = jnp.broadcast_to(
-            (w_of // Pk + 1)[..., None], (B, Wc, RC * V_ROW)
-        ).reshape(B, F2)
         neg_sorted, z_sorted = jax.lax.sort(
             (neg, z_of), dimension=1, num_keys=1
         )
@@ -230,9 +298,21 @@ class OpenSearcher:
         the recursion)."""
         B = masses.shape[0]
         starts, lens = self.ranges(masses, Zb) if _ranges is None else _ranges
+        # entry layout: chunked wide-row gather when windows are long
+        # (>= 16 entries on average the chunk padding is cheaper than
+        # per-element gather descriptors), ragged flat gather otherwise
+        n_win = max(int((lens > 0).sum()), 1)
+        env_ch = os.environ.get("SAGE_TPU_OPEN_CHUNKED")
+        if env_ch is not None:
+            chunked = env_ch != "0"
+        else:
+            chunked = float(lens.sum()) / n_win >= 16.0
         tc = ((lens + (C_CHUNK - 1)) // C_CHUNK).sum(axis=1)  # chunks/spec
         if B > 1:
-            F_est = int(tc.max()) * RC * V_ROW + 1
+            if chunked:
+                F_est = int(tc.max()) * RC * V_ROW + 1
+            else:
+                F_est = int(lens.sum(axis=1).max()) + 1
             if B * F_est > self.MAX_ELEMENTS:
                 # halve the spectrum batch; rows partition cleanly because
                 # they reference spectra by index (spectrum-major order)
@@ -252,7 +332,11 @@ class OpenSearcher:
                         for k, v in rows.items()
                     }
                     n_sub = int(sel.sum())
-                    R_sub = max(((n_sub + 7) // 8) * 8, 8)
+                    # pow2 padding: exact 8-multiples would compile a new
+                    # executable per distinct sub-batch row count
+                    R_sub = 8
+                    while R_sub < n_sub:
+                        R_sub *= 2
                     mz_sub = np.full(R_sub, 2, np.int32)
                     mz_sub[:n_sub] = maxz_rows[sel]
                     sub = np.asarray(
@@ -270,17 +354,21 @@ class OpenSearcher:
                     off += n_sub
                 return out
         totals = lens.reshape(masses.shape[0], -1).sum(axis=1)
-        # Wc chunk slots cover the densest spectrum; padded to powers of
-        # two to bound recompiles
-        Wc = 8
-        while Wc < max(int(tc.max()), 1):
-            Wc *= 2
+        # Wc chunk slots cover the densest spectrum; quarter-octave
+        # padding (like F below) bounds recompiles while keeping the
+        # sort axis (proportional to Wc) within 12% of minimal
+        Wc = _quarter_octave(max(int(tc.max()), 8)) if chunked else 8
         # F strictly greater than any spectrum's true entry count (the
-        # sorted axis is cut from Wc*RC*V down to F before counting);
-        # at least K so the per-row top_k never exceeds the axis
-        F = int(max(totals.max(), 1)) + 1
-        F = max(((F + 127) // 128) * 128, ((self.K + 127) // 128) * 128, 128)
-        F = min(F, Wc * RC * V_ROW)
+        # chunked sort axis Wc*RC*V is cut down to F before counting;
+        # the flat layout uses F as the entry axis directly); at least K
+        # so the per-row top_k never exceeds the axis. Quarter-octave
+        # padding: F is a static shape, and exact padding would compile a
+        # fresh executable per batch (seconds each on tunneled links)
+        # for <= 12% extra count-phase work saved.
+        F = _quarter_octave(int(max(totals.max(), 1)) + 1)
+        F = ((max(F, self.K, 128) + 127) // 128) * 128
+        if chunked:
+            F = min(F, Wc * RC * V_ROW)
         n_rows = rows["si"].size
         row_spec = np.zeros(R, np.int32)
         row_i0 = np.zeros(R, np.int32)
@@ -297,6 +385,7 @@ class OpenSearcher:
             jnp.asarray(row_i1),
             jnp.asarray(maxz),
             F=F, Wc=Wc, Pk=masses.shape[1], Z=Zb, K=self.K, R=R,
+            chunked=chunked,
         )
         out.copy_to_host_async()
         return out  # device handle; caller device_gets at finalize time

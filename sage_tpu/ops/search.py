@@ -364,7 +364,9 @@ class _DeviceTables:
         t = db.table
         P = len(t)
         self.P_real = P
-        self.P_pad = max(next_power_of_two(max(P, 1)), 128)
+        # 2048-multiples, not powers of two: at proteome scale (millions
+        # of peptides) pow2 padding wastes up to 2x of every ladder table
+        self.P_pad = max(((P + 2047) // 2048) * 2048, 128)
         L = t.max_len
         pad = self.P_pad - P
         self.resmass = jnp.asarray(
@@ -378,11 +380,19 @@ class _DeviceTables:
         self.L = L
 
         S = len(series)
-        footprint = 2 * self.P_pad * S * L * 4
+        SL = S * L
+        SLp2 = ((SL + 127) // 128) * 128
+        bytes_3d = 2 * self.P_pad * SL * 4        # lad_index + lad_full
+        bytes_2d = 2 * self.P_pad * SLp2 * 4      # lane-padded 2D views
         env = os.environ.get("SAGE_TPU_PRECOMP_LADDERS")
-        precomp = (
-            env != "0" if env is not None else footprint <= (4 << 30)
-        )
+        if env is not None:
+            precomp = precomp_2d = env != "0"
+        else:
+            # the 3D tables drive the XLA stage-1/stage-2 paths; the 2D
+            # views only feed the (optional) Pallas kernels — drop them
+            # first when the total would crowd HBM at proteome scale
+            precomp = bytes_3d <= (4 << 30)
+            precomp_2d = bytes_3d + bytes_2d <= (4 << 30)
         self.lad_index = None
         self.lad_full = None
         self.lad2d_index = None
@@ -398,11 +408,10 @@ class _DeviceTables:
             # over — a closure would embed them as HLO constants, which
             # round-trips the whole table through the host at lowering
             # time (pathological on tunneled links + persistent cache).
-            # All four tables come out of ONE jitted program: remote
-            # compiles cost seconds each on tunneled links, so fewer
-            # programs = faster first Scorer construction per process.
-            SL = S * L
-            SLp = ((SL + 127) // 128) * 128
+            # The 3D tables come out of ONE jitted program and the 2D
+            # views out of a second (reshape+pad of the finished 3D
+            # arrays): a single four-output program would double the
+            # transient peak, which is what OOMs first at proteome scale.
             P_pad = self.P_pad
 
             @jax.jit
@@ -417,24 +426,37 @@ class _DeviceTables:
                 # [S, P, L] -> [P, S, L] so per-candidate slices are contiguous
                 lad_index = jnp.transpose(lad_index, (1, 0, 2))
                 lad_full = jnp.transpose(lad_full, (1, 0, 2))
-                # flat 2D views for the Pallas stage-1 kernel: [P_pad, SLp]
-                # (lanes padded to 128) with -inf in all padding
-                pad_cfg = ((0, 0), (0, SLp - SL))
-                lad2d_index = jnp.pad(
-                    lad_index.reshape(P_pad, SL), pad_cfg,
-                    constant_values=-np.inf,
-                )
-                lad2d_full = jnp.pad(
-                    lad_full.reshape(P_pad, SL), pad_cfg,
-                    constant_values=-np.inf,
-                )
-                return lad_index, lad_full, lad2d_index, lad2d_full
+                return lad_index, lad_full
 
-            self.SLp = SLp
-            (
-                self.lad_index, self.lad_full,
-                self.lad2d_index, self.lad2d_full,
-            ) = build(self.resmass, self.nterm, self.mono, self.lens)
+            @jax.jit
+            def to2d(lad3d):
+                # flat 2D view for the Pallas kernels: [P_pad, SLp]
+                # (lanes padded to 128) with -inf in all padding
+                return jnp.pad(
+                    lad3d.reshape(P_pad, SL), ((0, 0), (0, SLp2 - SL)),
+                    constant_values=-np.inf,
+                )
+
+            try:
+                self.lad_index, self.lad_full = build(
+                    self.resmass, self.nterm, self.mono, self.lens
+                )
+                if precomp_2d:
+                    self.SLp = SLp2
+                    self.lad2d_index = to2d(self.lad_index)
+                    self.lad2d_full = to2d(self.lad_full)
+            except Exception as e:  # RESOURCE_EXHAUSTED and kin
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                logging.getLogger("sage_tpu").warning(
+                    "HBM exhausted precomputing ladder tables (%s peptides"
+                    "); falling back to on-the-fly ladders", P
+                )
+                self.lad_index = None
+                self.lad_full = None
+                self.lad2d_index = None
+                self.lad2d_full = None
+                self.SLp = 0
 
 
 class Scorer:
