@@ -463,6 +463,9 @@ class Scorer:
     """Score ProcessedSpectrum batches against an IndexedDatabase."""
 
     def __init__(self, db: IndexedDatabase, params: SearchParams):
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.db = db
         self.params = params
         self.series = tuple(db.ion_kinds)
@@ -1319,6 +1322,17 @@ class Scorer:
         hint = getattr(self, "_bc_hint", None)
         if hint is not None and hint[0] / max(hint[1], 1) > 2.5:
             return None
+        if hint is None and n_spec:
+            # no measurement yet: estimate density from the total window
+            # width per spectrum. Proteome-scale windows (hundreds of
+            # candidates/spectrum) always blow the 3/spectrum budget —
+            # skip the guaranteed first-batch overflow + rerun (and the
+            # fused program's compile) outright.
+            width_per_spec = float(
+                (rows["i1"].astype(np.int64) - rows["i0"]).sum()
+            ) / n_spec
+            if width_per_spec > 48.0:
+                return None
         Bc = max(_pad_count(3 * n_spec), 2048)
 
         fn = self._fused(W, Pk, S_pad, G_rows, Zb, Bc)

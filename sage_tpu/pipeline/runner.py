@@ -52,24 +52,7 @@ def read_fasta(path: str, decoy_tag: str, generate_decoys: bool) -> Fasta:
     return Fasta.parse(contents, decoy_tag, generate_decoys)
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: first-use compiles (~10s for the
-    fused search program) amortize across processes/runs. Opt out with
-    SAGE_TPU_COMPILE_CACHE=0."""
-    if os.environ.get("SAGE_TPU_COMPILE_CACHE", "1") == "0":
-        return
-    try:
-        import jax
-
-        path = os.environ.get(
-            "SAGE_TPU_COMPILE_CACHE_DIR",
-            os.path.expanduser("~/.cache/sage_tpu/xla"),
-        )
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception as e:  # noqa: BLE001 — cache is best-effort
-        log.debug("compilation cache unavailable: %s", e)
+from ..utils.compile_cache import enable_compile_cache as _enable_compile_cache
 
 
 class Runner:
