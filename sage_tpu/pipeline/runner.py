@@ -386,6 +386,7 @@ class Runner:
             "q_peptide": q_peptide,
             "q_protein": q_protein,
             "q_protein_group": q_protein_group,
+            "lfq": areas,
             "run_time": run_time,
         }
 

@@ -271,3 +271,166 @@ def test_tmt_quant_e2e(tmp_path):
     reps = res.to_pydict()["reporter_ion_intensity"][0]
     assert len(reps) == 6
     np.testing.assert_allclose(reps, rep_int, rtol=1e-5)
+
+
+def _write_lc_run(path, db, targets, elute_rt, rng, rt_shift=0.0,
+                  scale=1.0):
+    """Synthetic LC-MS run: MS1 frames carrying 3-peak isotope envelopes
+    of eluting peptides (gaussian elution profiles) plus one MS2 per
+    target near its apex — enough structure for the full FlashLFQ-style
+    pipeline (lfq.rs feature map + warp + spectral angle)."""
+    import base64
+    import zlib as _zlib
+
+    from sage_tpu.chem.mass import PROTON
+
+    NEUTRON = 1.00335
+    b, y = db.table.ladders()
+    mono, lens = db.table.mono, db.table.lens
+
+    def enc(arr, dtype):
+        return base64.b64encode(
+            _zlib.compress(np.asarray(arr, dtype).tobytes())
+        ).decode()
+
+    parts = ['<?xml version="1.0"?><mzML><run><spectrumList>']
+    scan = 0
+    ms2_emitted = set()
+    for rt in np.arange(0.0, 24.0, 0.05):
+        mzs, ints = [], []
+        for ti, p in enumerate(targets):
+            w = np.exp(-0.5 * ((rt - (elute_rt[ti] + rt_shift)) / 0.5) ** 2)
+            if w < 0.02:
+                continue
+            for iso in range(3):
+                mzs.append((float(mono[p]) + iso * NEUTRON) / 2 + PROTON)
+                ints.append(scale * 1e6 * w * (0.6 ** iso))
+        if not mzs:
+            mzs, ints = [500.0], [1.0]
+        order = np.argsort(mzs)
+        mzs = np.asarray(mzs)[order]
+        ints = np.asarray(ints)[order]
+        scan += 1
+        parts.append(
+            f'<spectrum id="scan={scan}">'
+            '<cvParam accession="MS:1000511" value="1"/>'
+            '<cvParam accession="MS:1000127" value=""/>'
+            f'<cvParam accession="MS:1000285" value="{float(np.sum(ints))}"/>'
+            '<scanList><scan>'
+            f'<cvParam accession="MS:1000016" value="{rt}" unitAccession="UO:0000031"/>'
+            "</scan></scanList><binaryDataArrayList>"
+            '<binaryDataArray><cvParam accession="MS:1000523" value=""/>'
+            '<cvParam accession="MS:1000574" value=""/>'
+            '<cvParam accession="MS:1000514" value=""/>'
+            f"<binary>{enc(mzs, np.float64)}</binary></binaryDataArray>"
+            '<binaryDataArray><cvParam accession="MS:1000521" value=""/>'
+            '<cvParam accession="MS:1000574" value=""/>'
+            '<cvParam accession="MS:1000515" value=""/>'
+            f"<binary>{enc(ints, np.float32)}</binary></binaryDataArray>"
+            "</binaryDataArrayList></spectrum>"
+        )
+        for ti, p in enumerate(targets):
+            if ti in ms2_emitted or abs(rt - (elute_rt[ti] + rt_shift)) > 0.03:
+                continue
+            ms2_emitted.add(ti)
+            ni = int(lens[p]) - 1
+            frags = np.concatenate([b[p, :ni], y[p, :ni]]) + PROTON
+            keep = frags[rng.random(frags.shape[0]) < 0.9]
+            # noise floor keeps every spectrum above the min_peaks filter
+            keep = np.concatenate(
+                [keep, rng.uniform(200.0, 1500.0, 12)]
+            )
+            fi = rng.uniform(1e4, 1e6, keep.shape[0])
+            order = np.argsort(keep)
+            keep, fi = keep[order], fi[order]
+            prec = float(mono[p]) / 2 + PROTON
+            scan += 1
+            parts.append(
+                f'<spectrum id="scan={scan}">'
+                '<cvParam accession="MS:1000511" value="2"/>'
+                '<cvParam accession="MS:1000127" value=""/>'
+                f'<cvParam accession="MS:1000285" value="{float(np.sum(fi))}"/>'
+                '<scanList><scan>'
+                f'<cvParam accession="MS:1000016" value="{rt}" unitAccession="UO:0000031"/>'
+                "</scan></scanList><precursorList><precursor>"
+                "<selectedIonList><selectedIon>"
+                f'<cvParam accession="MS:1000744" value="{prec}"/>'
+                '<cvParam accession="MS:1000041" value="2"/>'
+                "</selectedIon></selectedIonList></precursor></precursorList>"
+                "<binaryDataArrayList>"
+                '<binaryDataArray><cvParam accession="MS:1000523" value=""/>'
+                '<cvParam accession="MS:1000574" value=""/>'
+                '<cvParam accession="MS:1000514" value=""/>'
+                f"<binary>{enc(keep, np.float64)}</binary></binaryDataArray>"
+                '<binaryDataArray><cvParam accession="MS:1000521" value=""/>'
+                '<cvParam accession="MS:1000574" value=""/>'
+                '<cvParam accession="MS:1000515" value=""/>'
+                f"<binary>{enc(fi, np.float32)}</binary></binaryDataArray>"
+                "</binaryDataArrayList></spectrum>"
+            )
+    parts.append("</spectrumList></run></mzML>")
+    path.write_text("".join(parts))
+    return len(ms2_emitted)
+
+
+def test_lfq_e2e_multifile(tmp_path):
+    """Full label-free quant across two LC runs with a retention-time
+    shift: confident precursors must be quantified in BOTH files (time
+    warping lfq.rs:347-420 bridges the shift) with the ~2x abundance
+    ratio of the second run recovered, lfq.tsv + long-format rows
+    written, and 5% picked-precursor FDR applied (fdr.rs:228-287)."""
+    from sage_tpu.chem.fasta import Fasta
+    from sage_tpu.index.builder import DatabaseParams
+
+    AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    rng = np.random.default_rng(17)
+    lines = []
+    for i in range(80):
+        seq = AA[rng.integers(0, len(AA), size=240)].tobytes().decode()
+        lines.append(f">sp|LFQ{i:03d}|LFQ{i}_SYN synthetic\n{seq}")
+    fasta_path = tmp_path / "lfq.fasta"
+    fasta_path.write_text("\n".join(lines))
+    params = DatabaseParams()
+    db = params.build(
+        Fasta.parse("\n".join(lines), params.decoy_tag, True)
+    )
+    targets = np.flatnonzero(~db.table.decoy & (db.table.lens >= 10))[:150]
+    elute_rt = rng.uniform(3.0, 21.0, len(targets))
+    n_a = _write_lc_run(tmp_path / "a.mzML", db, targets, elute_rt, rng)
+    n_b = _write_lc_run(
+        tmp_path / "b.mzML", db, targets, elute_rt, rng,
+        rt_shift=0.9, scale=2.0,
+    )
+    assert min(n_a, n_b) >= 20
+
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    cfg = {
+        "database": {"fasta": str(fasta_path)},
+        "precursor_tol": {"ppm": [-20, 20]},
+        "fragment_tol": {"ppm": [-10, 10]},
+        "deisotope": False,
+        "quant": {"lfq": True},
+        "mzml_paths": [str(tmp_path / "a.mzML"), str(tmp_path / "b.mzML")],
+    }
+    search = build_search(cfg, output_directory=str(tmp_path))
+    result = Runner(search).run()
+    areas = result["lfq"]
+    assert areas, "no LFQ areas produced"
+    tsv = (tmp_path / "lfq.tsv").read_text().splitlines()
+    assert len(tsv) >= 10
+    header = tsv[0].split("\t")
+    ia = header.index("a.mzML")
+    ib = header.index("b.mzML")
+    ratios = []
+    for ln in tsv[1:]:
+        c = ln.split("\t")
+        va, vb = float(c[ia] or 0), float(c[ib] or 0)
+        if va > 0 and vb > 0:
+            ratios.append(vb / va)
+    # warping must quantify most precursors in both runs despite the
+    # 0.9 min shift, and recover the 2x spike-in ratio
+    assert len(ratios) >= (len(tsv) - 1) * 0.6, (len(ratios), len(tsv))
+    med = float(np.median(ratios))
+    assert 1.4 <= med <= 2.8, med
