@@ -543,12 +543,29 @@ class Scorer:
             scored = jnp.sum((counts > 0).astype(jnp.int32))
             return counts, matched_total, scored
 
-        def per_row(tbl, peaks, p0, i0, i1, maxz):
+        # count<<23 | peptide packing halves the dominant fetch on
+        # tunneled links; needs the peptide index to fit 23 bits and is
+        # saturation-guarded (counts clamp at 511 for the top-K ORDER
+        # only — the raw row max is fetched alongside so the host can
+        # detect a clamp and redo the batch unpacked; see _prelim_part)
+        bitpack = not counts_only and tables.P_pad < (1 << 23)
+
+        def per_row(tbl, peaks, p0, i0, i1, maxz, pack):
             counts, matched_total, scored = row_counts(
                 tbl, peaks, p0, i0, i1, maxz
             )
             if counts_only:
                 return counts, matched_total, scored
+            if pack:
+                # top_k over (count, peptide) packed keys picks count
+                # desc then peptide desc — exactly PreScore Ord
+                # (scoring.rs:43-49) — in one fetchable i32
+                pepw = p0 + jnp.arange(W, dtype=jnp.int32)
+                key = (
+                    jnp.minimum(counts, np.int32(511)) << 23
+                ) | pepw
+                vals, _ = jax.lax.top_k(key, K)
+                return vals, jnp.max(counts), matched_total, scored
             # Top-K by (count, peptide index) descending: reversing the
             # candidate axis makes top_k's lowest-index tie rule pick the
             # highest peptide index first (PreScore Ord, scoring.rs:43-49).
@@ -557,12 +574,12 @@ class Scorer:
             pep = p0 + (W - 1 - ridx)
             return vals, pep, matched_total, scored
 
-        def run_inner(tbl, peaks_all, ints):
+        def run_inner(tbl, peaks_all, ints, pack=False):
             # ints: [5, R] i32 (spec_idx, p0, i0, i1, maxz) — one upload.
             spec_idx, p0, i0, i1, maxz = (ints[j] for j in range(5))
             pk = peaks_all[0][spec_idx]  # [R, Pk]
             out = jax.vmap(
-                lambda *a: per_row(tbl, *a)
+                lambda *a: per_row(tbl, *a, pack)
             )(pk, p0, i0, i1, maxz)
             # Pack into ONE i32 array so the host pays a single fetch
             # round-trip on tunneled links.
@@ -571,20 +588,31 @@ class Scorer:
                 return jnp.concatenate(
                     [counts, mtot[:, None], scored[:, None]], axis=1
                 )
+            if pack:
+                keys, rawmax, mtot, scored = out
+                return jnp.concatenate(
+                    [keys, rawmax[:, None], mtot[:, None], scored[:, None]],
+                    axis=1,
+                )  # [R, K+3]
             vals, pep, mtot, scored = out
             return jnp.concatenate(
                 [vals, pep, mtot[:, None], scored[:, None]], axis=1
             )
 
-        jitted = jax.jit(run_inner)
+        jitted = jax.jit(run_inner, static_argnames=("pack",))
 
         def run(peaks_all, ints):
-            return jitted(tbl_args, peaks_all, ints)
+            return jitted(tbl_args, peaks_all, ints, pack=bitpack)
+
+        def run_unpacked(peaks_all, ints):
+            return jitted(tbl_args, peaks_all, ints, pack=False)
 
         # expose the traceable + table args so the fused program can
         # inline stage 1 without re-capturing the tables as constants
         run._traceable = run_inner
         run._tbl = tbl_args
+        run._packed = bitpack
+        run._unpacked = run_unpacked
         return run, counts_only
 
     def _build_stage2_compact(self, Pk: int, N: int, Z: Optional[int] = None):
@@ -1555,9 +1583,17 @@ class Scorer:
     def _prelim_part(d, K):
         """Unpack one stage-1 dispatch into flat per-candidate arrays
         (m, pep, spec, z, iso) plus per-row (spec, mtot, scored)."""
-        out = jax.device_get(d["out_dev"])  # packed i32 [R, W+2 | 2K+2]
+        out = jax.device_get(d["out_dev"])  # i32 [R, W+2 | K+3 | 2K+2]
         n_rows, W = d["n_rows"], d["W"]
         p0, spec_idx = d["p0"], d["spec_idx"]
+        packed = d.get("packed", False)
+        if packed and n_rows and int(out[:n_rows, K].max()) > 511:
+            # a preliminary count saturated the 9-bit pack (needs >511
+            # matched (peak, charge) pairs on one candidate — never seen
+            # in practice); redo this dispatch with the unpacked layout
+            # so the top-K order is exact
+            out = np.asarray(jax.device_get(d["redo"]()))
+            packed = False
         if d["counts_only"]:
             counts = out[:n_rows, :W]
             mtot, scored = out[:n_rows, W], out[:n_rows, W + 1]
@@ -1565,6 +1601,11 @@ class Scorer:
             # whole window in reversed candidate order (peptide desc).
             vals = counts[:, ::-1]
             pep = p0[:n_rows, None] + (W - 1 - np.arange(W, dtype=np.int32))
+        elif packed:
+            keys = out[:n_rows, :K]
+            vals = keys >> 23
+            pep = keys & np.int32((1 << 23) - 1)
+            mtot, scored = out[:n_rows, K + 1], out[:n_rows, K + 2]
         else:
             vals = out[:n_rows, :K]
             pep = out[:n_rows, K : 2 * K]
