@@ -1523,24 +1523,37 @@ class Scorer:
                     [sub["spec_idx"], sub["p0"], sub["i0"], sub["i1"],
                      sub["maxz"]]
                 )
-                out_b = fnb(peaks_dev, jnp.asarray(ints_b))
+                ints_b_dev = jnp.asarray(ints_b)
+                out_b = fnb(peaks_dev, ints_b_dev)
                 out_b.copy_to_host_async()
+                packed_b = getattr(fnb, "_packed", False)
                 outs.append({
                     "out_dev": out_b, "counts_only": co_b, "n_rows": nb,
                     "W": Wb, "p0": sub["p0"], "spec_idx": sub["spec_idx"],
                     "row_z": sub["z"], "row_iso": sub["iso"],
+                    "packed": packed_b,
+                    "redo": (
+                        lambda f=fnb, pd=peaks_dev, iv=ints_b_dev:
+                        f._unpacked(pd, iv)
+                    ) if packed_b else None,
                 })
             return {"buckets": outs, "n_spec": n_spec}
         fn, counts_only = self._stage1(W, Pk, R, Zb)
         ints = np.stack([spec_idx, p0, i0a, i1a, maxz])  # one upload
-        out_dev = fn(peaks_dev, jnp.asarray(ints))
+        ints_dev = jnp.asarray(ints)
+        out_dev = fn(peaks_dev, ints_dev)
         # Start the device->host copy as soon as the result is ready; by
         # finalize time the bytes are usually already on the host.
         out_dev.copy_to_host_async()
+        packed = getattr(fn, "_packed", False)
         return {
             "out_dev": out_dev, "counts_only": counts_only,
             "n_rows": n_rows, "n_spec": n_spec, "W": W,
             "p0": p0, "spec_idx": spec_idx, "row_z": row_z, "row_iso": row_iso,
+            "packed": packed,
+            "redo": (
+                lambda f=fn, pd=peaks_dev, iv=ints_dev: f._unpacked(pd, iv)
+            ) if packed else None,
         }
 
     @staticmethod
@@ -1587,6 +1600,15 @@ class Scorer:
         n_rows, W = d["n_rows"], d["W"]
         p0, spec_idx = d["p0"], d["spec_idx"]
         packed = d.get("packed", False)
+        expected = (
+            W + 2 if d["counts_only"] else (K + 3 if packed else 2 * K + 2)
+        )
+        if out.shape[1] != expected:
+            raise AssertionError(
+                f"stage-1 layout mismatch: out width {out.shape[1]} != "
+                f"{expected} (counts_only={d['counts_only']}, "
+                f"packed={packed}, W={W}, K={K})"
+            )
         if packed and n_rows and int(out[:n_rows, K].max()) > 511:
             # a preliminary count saturated the 9-bit pack (needs >511
             # matched (peak, charge) pairs on one candidate — never seen

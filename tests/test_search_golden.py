@@ -250,6 +250,93 @@ def test_fused_matches_two_dispatch_wide_windows(monkeypatch):
         )
 
 
+def test_packed_stage1_layout_and_saturation_redo(monkeypatch):
+    """W > K stage-1 dispatches use the bit-packed (count<<23 | pep) top-K
+    layout whenever P_pad < 2^23. The dispatch dict must carry the
+    "packed" flag plus a "redo" closure for the unpacked re-dispatch, and
+    _prelim_part must (a) unpack the packed keys to the same candidates as
+    the unpacked layout, (b) fall back to redo() when a count saturates
+    the 9-bit pack. Regression for the round-1 HEAD breakage where the
+    flag was never threaded through the dispatch sites."""
+    from sage_tpu.chem.mass import PROTON
+    from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum
+
+    rng = np.random.default_rng(47)
+    AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    lines = []
+    for i in range(60):
+        seq = AA[rng.integers(0, len(AA), size=260)].tobytes().decode()
+        lines.append(f">sp|P{i:03d}|P{i}_SYN synthetic\n{seq}")
+    db_params = DatabaseParams()
+    db = db_params.build(
+        Fasta.parse("\n".join(lines), db_params.decoy_tag, True)
+    )
+    b, y = db.table.ladders()
+    targets = np.flatnonzero(db.table.lens >= 8)
+    spectra = []
+    for i in range(4):
+        p = int(targets[rng.integers(0, targets.size)])
+        n = int(db.table.lens[p]) - 1
+        frags = np.concatenate([b[p, :n], y[p, :n]])
+        take = frags[rng.random(frags.shape[0]) < 0.8]
+        masses = np.sort(take.astype(np.float32))
+        intens = rng.uniform(1.0, 1e5, masses.shape[0]).astype(np.float32)
+        spectra.append(
+            ProcessedSpectrum(
+                level=2, id=f"scan={i}", file_id=0, scan_start_time=0.1 * i,
+                ion_injection_time=1.0,
+                precursors=[
+                    Precursor(mz=float(db.table.mono[p]) / 2 + PROTON, charge=2)
+                ],
+                masses=masses, intensities=intens,
+                mobilities=np.zeros(0, np.float32),
+                total_ion_current=np.float32(intens.sum()),
+            )
+        )
+    wide = SearchParams(
+        precursor_tol=Tolerance("da", -60.0, 60.0),
+        fragment_tol=Tolerance("ppm", -10.0, 10.0),
+        report_psms=3, min_matched_peaks=1,
+    )
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "999999999")
+    monkeypatch.setenv("SAGE_TPU_FUSED", "0")
+    monkeypatch.setenv("SAGE_TPU_WIDTH_BUCKETS", "0")
+    s = Scorer(db, wide)
+    d = s._prelim_dispatch(spectra)
+    assert d["W"] > s.K, "test needs the W > K (top-K) stage-1 shape"
+    assert d["counts_only"] is False
+    assert d["packed"] is True, "packed stage-1 layout should be active"
+    assert callable(d["redo"])
+    K = s.K
+    import jax
+
+    out_packed = np.asarray(jax.device_get(d["out_dev"]))
+    assert out_packed.shape[1] == K + 3  # keys, rawmax, mtot, scored
+    out_unpacked = np.asarray(jax.device_get(d["redo"]()))
+    assert out_unpacked.shape[1] == 2 * K + 2
+
+    # (a) unpacked equivalence through _prelim_part
+    m_p, pp_p, *rest_p = Scorer._prelim_part(dict(d), K)
+    d_u = dict(d)
+    d_u["out_dev"] = out_unpacked
+    d_u["packed"] = False
+    m_u, pp_u, *rest_u = Scorer._prelim_part(d_u, K)
+    np.testing.assert_array_equal(m_p, m_u)
+    np.testing.assert_array_equal(pp_p, pp_u)
+    for a, b in zip(rest_p, rest_u):
+        np.testing.assert_array_equal(a, b)
+
+    # (b) saturation fallback: force the fetched rawmax column past 511 so
+    # _prelim_part must discard the packed fetch and use redo()
+    out_sat = out_packed.copy()
+    out_sat[:, K] = 600
+    d_s = dict(d)
+    d_s["out_dev"] = out_sat
+    m_s, pp_s, *rest_s = Scorer._prelim_part(d_s, K)
+    np.testing.assert_array_equal(m_s, m_u)
+    np.testing.assert_array_equal(pp_s, pp_u)
+
+
 def test_width_bucketed_stage1_matches_single_dispatch(monkeypatch):
     """Stage-1 width bucketing (rows dispatched at per-class window
     widths) must be invisible: same PSM table as one max-width dispatch."""
