@@ -1,17 +1,28 @@
-"""Benchmark: end-to-end MS2 search throughput (spectra/s) on one chip.
+"""Benchmark: end-to-end MS2 search throughput (spectra/s) on one chip,
+at production scale, against a *measured* CPU baseline.
 
-Workload: a synthetic tryptic database (deterministic random proteome) is
+Workload: a synthetic tryptic database at human-proteome scale (~889k
+peptides / 19M fragments by default — the same regime as the reference's
+published benchmark configs, figures/benchmark_params/{open,tmt}.json) is
 searched with batches of synthetic MS2 spectra whose peaks are drawn from
 real b/y ion ladders plus noise — the same shape of work as the reference
-engine's hot loop (scoring.rs:300-474): preliminary candidate scoring over
-the precursor window, top-50 trim, full rescoring, feature assembly.
+engine's hot loop (scoring.rs:300-474).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the image has no Rust toolchain, so the reference binary cannot
+be run. Instead ``sage_tpu/native/ref_baseline.c`` — a faithful C
+re-implementation of the reference's exact hot loop and data layout,
+PSM-parity-tested against this engine in tests/test_ref_baseline.py — is
+compiled and timed single-core on the *same workload*, and scaled by
+BASELINE_CORES (default 32, per BASELINE.md's "32-core Rust Sage" target;
+rayon scaling assumed linear, the generous assumption for the baseline).
 
-``vs_baseline`` is value / 10_000 spectra/s — a documented stand-in for
-32-core Rust Sage narrow-search throughput (the reference publishes no
-in-repo numbers; BASELINE.md records the derivation and the ≥10× target
-means vs_baseline ≥ 10 once parity-on-speed is reached).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+where ``value`` is narrow-search spectra/s at production scale and
+``vs_baseline`` = value / (measured single-core C spectra/s x 32).
+Extra keys record the open-search rate, the measured baselines, and the
+device-fetch wait (the host<->TPU tunnel tax) so device time and
+transfer stalls can be told apart. The same numbers are written to
+BASELINE_MEASURED.json for the record.
 """
 
 from __future__ import annotations
@@ -25,121 +36,163 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sage_tpu.chem.enzyme import Digest  # noqa: E402
+from sage_tpu.bench_baseline import (  # noqa: E402
+    measure_cpu_baseline,
+    synth_fasta,
+    synth_spectra,
+)
 from sage_tpu.chem.fasta import Fasta  # noqa: E402
-from sage_tpu.chem.mass import PROTON, Tolerance  # noqa: E402
-from sage_tpu.index.builder import DatabaseParams  # noqa: E402
+from sage_tpu.chem.mass import Tolerance  # noqa: E402
+from sage_tpu.index.builder import (  # noqa: E402
+    DatabaseParams,
+    load_database,
+    save_database,
+)
+from sage_tpu.ops import search as search_mod  # noqa: E402
 from sage_tpu.ops.search import Scorer, SearchParams  # noqa: E402
-from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum  # noqa: E402
 
-N_PROTEINS = int(os.environ.get("BENCH_PROTEINS", "200"))
-N_SPECTRA = int(os.environ.get("BENCH_SPECTRA", "32768"))
+N_PROTEINS = int(os.environ.get("BENCH_PROTEINS", "20000"))
+N_SPECTRA = int(os.environ.get("BENCH_SPECTRA", "8192"))
+N_SPECTRA_OPEN = int(os.environ.get("BENCH_SPECTRA_OPEN", "2048"))
 BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
-BASELINE_SPECTRA_PER_S = 10_000.0
-
-AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
-
-
-def synth_fasta(n_proteins: int, length: int = 360, seed: int = 7) -> str:
-    rng = np.random.default_rng(seed)
-    lines = []
-    for i in range(n_proteins):
-        seq = AA[rng.integers(0, len(AA), size=length)].tobytes().decode()
-        lines.append(f">sp|BENCH{i:05d}|BENCH{i}_SYN synthetic\n{seq}")
-    return "\n".join(lines)
+BATCH_OPEN = int(os.environ.get("BENCH_BATCH_OPEN", "512"))
+PASSES = int(os.environ.get("BENCH_PASSES", "5"))
+BASELINE_CORES = int(os.environ.get("BASELINE_CORES", "32"))
+SKIP_OPEN = os.environ.get("BENCH_SKIP_OPEN") == "1"
 
 
-def synth_spectra(db, n_spectra: int, seed: int = 11):
-    """Spectra whose peaks are a peptide's b/y ions (plus noise), precursor
-    annotated at charge 2 — exercising the real narrow-search path."""
-    rng = np.random.default_rng(seed)
-    b, y = db.table.ladders()
-    mono = db.table.mono
-    lens = db.table.lens
-    out = []
-    n_pep = len(db)
-    for i in range(n_spectra):
-        p = int(rng.integers(0, n_pep))
-        n = max(int(lens[p]) - 1, 1)
-        frags = np.concatenate([b[p, :n], y[p, :n]])
-        take = rng.random(frags.shape[0]) < 0.7
-        masses = frags[take]
-        noise = rng.uniform(150.0, float(mono[p]), size=60).astype(np.float32)
-        masses = np.concatenate([masses, noise]).astype(np.float32)
-        intens = rng.uniform(1e3, 1e6, size=masses.shape[0]).astype(np.float32)
-        order = np.argsort(masses, kind="stable")
-        masses, intens = masses[order], intens[order]
-        z = 2
-        prec_mz = float(np.float32(mono[p]) / z + PROTON)
-        out.append(
-            ProcessedSpectrum(
-                level=2,
-                id=f"scan={i}",
-                file_id=0,
-                scan_start_time=float(i) * 0.01,
-                ion_injection_time=1.0,
-                precursors=[Precursor(mz=prec_mz, charge=z)],
-                masses=masses,
-                intensities=intens,
-                mobilities=np.zeros(0, np.float32),
-                total_ion_current=np.float32(intens.sum()),
-            )
-        )
-    return out
-
-
-def main():
-    t0 = time.perf_counter()
+def build_db():
+    """Build (or load from the /tmp cache) the benchmark database."""
+    cache = f"/tmp/sage_bench_db_{N_PROTEINS}.npz"
     params = DatabaseParams()
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        try:
+            db = load_database(cache)
+            return db, time.perf_counter() - t0
+        except Exception as e:  # stale/corrupt cache
+            print(f"# bench db cache reload failed: {e}", file=sys.stderr)
     fasta = Fasta.parse(synth_fasta(N_PROTEINS), params.decoy_tag, True)
     db = params.build(fasta)
-    t_build = time.perf_counter() - t0
+    try:
+        save_database(db, cache)
+    except Exception as e:
+        print(f"# bench db cache save failed: {e}", file=sys.stderr)
+    return db, time.perf_counter() - t0
 
-    search = SearchParams(
-        precursor_tol=Tolerance("ppm", -20.0, 20.0),
-        fragment_tol=Tolerance("ppm", -10.0, 10.0),
-    )
-    scorer = Scorer(db, search)
-    spectra = synth_spectra(db, N_SPECTRA)
 
-    # Warmup: one full streaming pass compiles every (W, Pk, R, N) shape
-    # the timed pass will hit (shape-bucketed executables are cached).
-    batches = [spectra[i : i + BATCH] for i in range(0, len(spectra), BATCH)]
+def timed_passes(scorer, spectra, batch, passes):
+    """Median-of-N timed streaming passes (the tunnel jitter in this
+    environment can halve a single pass). Returns (median_s, psms,
+    fetch_wait_s_per_pass)."""
+    batches = [spectra[i : i + batch] for i in range(0, len(spectra), batch)]
+    # Warmup: compiles every shape the timed passes hit.
     n_warm = 0
     for feats in scorer.score_stream(batches):
         n_warm += len(feats)
     assert n_warm, "warmup produced no PSMs"
-
-    # Median of five timed passes: the host<->device tunnel in this
-    # environment has multi-10ms latency jitter that can halve a single
-    # pass; the median reflects sustained throughput.
     times = []
     n_psms = 0
-    for _ in range(5):
+    search_mod.reset_fetch_wait()
+    for _ in range(passes):
         t1 = time.perf_counter()
         n_psms = 0
         for feats in scorer.score_stream(batches):
             n_psms += len(feats)
         times.append(time.perf_counter() - t1)
-    dt = sorted(times)[2]
-    sps = len(spectra) / dt
+    fetch_wait = search_mod.get_fetch_wait() / passes
+    return sorted(times)[len(times) // 2], n_psms, fetch_wait
 
+
+def main():
+    db, t_build = build_db()
     print(
         f"# db: {len(db)} peptides, {db.num_fragments} fragments "
-        f"(build {t_build:.1f}s); {len(spectra)} spectra in {dt:.2f}s; "
-        f"{n_psms} PSMs",
+        f"(build/load {t_build:.1f}s)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "search_throughput",
-                "value": round(sps, 2),
-                "unit": "spectra/s",
-                "vs_baseline": round(sps / BASELINE_SPECTRA_PER_S, 4),
-            }
-        )
+    frag_tol = Tolerance("ppm", -10.0, 10.0)
+    narrow = SearchParams(
+        precursor_tol=Tolerance("ppm", -20.0, 20.0), fragment_tol=frag_tol
     )
+    spectra = synth_spectra(db, max(N_SPECTRA, N_SPECTRA_OPEN))
+
+    # --- measured CPU baseline (single core, same workload) ---
+    base_narrow = measure_cpu_baseline(db, spectra[:512], narrow, reps=4)
+    b1 = base_narrow["spectra_per_s"] if base_narrow else None
+    print(f"# baseline narrow 1-core: {base_narrow}", file=sys.stderr)
+
+    # --- TPU narrow search (headline) ---
+    scorer = Scorer(db, narrow)
+    dt, n_psms, fetch_wait = timed_passes(
+        scorer, spectra[:N_SPECTRA], BATCH, PASSES
+    )
+    sps = N_SPECTRA / dt
+    print(
+        f"# narrow: {N_SPECTRA} spectra in {dt:.2f}s ({sps:.0f} sp/s), "
+        f"{n_psms} PSMs, fetch-wait {fetch_wait:.2f}s/pass",
+        file=sys.stderr,
+    )
+
+    result = {
+        "metric": "search_throughput",
+        "value": round(sps, 2),
+        "unit": "spectra/s",
+        "db_peptides": len(db),
+        "db_fragments": int(db.num_fragments),
+        "fetch_wait_s_per_pass": round(fetch_wait, 3),
+        "wall_s_per_pass": round(dt, 3),
+        "baseline_cores": BASELINE_CORES,
+    }
+    if b1:
+        result["baseline_narrow_1core"] = round(b1, 1)
+        result["vs_baseline"] = round(sps / (b1 * BASELINE_CORES), 4)
+        result["vs_baseline_1core"] = round(sps / b1, 3)
+    else:
+        # no C compiler: fall back to the round-1 documented stand-in
+        result["vs_baseline"] = round(sps / 10_000.0, 4)
+        result["baseline_note"] = "no C compiler; 10k sp/s stand-in"
+
+    # --- open search (the reference's flagship benchmark regime) ---
+    if not SKIP_OPEN:
+        open_params = SearchParams(
+            precursor_tol=Tolerance("da", -500.0, 100.0),
+            fragment_tol=frag_tol,
+        )
+        base_open = measure_cpu_baseline(
+            db, spectra[:128], open_params, reps=1
+        )
+        print(f"# baseline open 1-core: {base_open}", file=sys.stderr)
+        oscorer = Scorer(db, open_params)
+        odt, o_psms, o_fetch = timed_passes(
+            oscorer, spectra[:N_SPECTRA_OPEN], BATCH_OPEN, max(PASSES - 2, 1)
+        )
+        osps = N_SPECTRA_OPEN / odt
+        print(
+            f"# open: {N_SPECTRA_OPEN} spectra in {odt:.2f}s "
+            f"({osps:.0f} sp/s), {o_psms} PSMs, fetch-wait "
+            f"{o_fetch:.2f}s/pass",
+            file=sys.stderr,
+        )
+        result["open_sps"] = round(osps, 2)
+        result["open_fetch_wait_s_per_pass"] = round(o_fetch, 3)
+        if base_open:
+            ob1 = base_open["spectra_per_s"]
+            result["baseline_open_1core"] = round(ob1, 1)
+            result["open_vs_baseline"] = round(
+                osps / (ob1 * BASELINE_CORES), 4
+            )
+            result["open_vs_baseline_1core"] = round(osps / ob1, 3)
+
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_MEASURED.json"), "w"
+        ) as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -56,6 +56,28 @@ log = logging.getLogger("sage_tpu")
 
 F32 = np.float32
 
+# Cumulative wall time spent blocked on device->host fetches (the axon
+# tunnel tax). bench.py reads/reset this to split device+transfer time
+# from host compute in its report.
+_FETCH_WAIT = [0.0]
+
+
+def _dget(x):
+    import time as _time
+
+    t0 = _time.perf_counter()
+    out = jax.device_get(x)
+    _FETCH_WAIT[0] += _time.perf_counter() - t0
+    return out
+
+
+def reset_fetch_wait() -> None:
+    _FETCH_WAIT[0] = 0.0
+
+
+def get_fetch_wait() -> float:
+    return _FETCH_WAIT[0]
+
 # Ion-series seeds, computed in f32 exactly as ion_series.rs:37-53.
 _C = F32(12.0)
 _O = F32(15.994914)
@@ -1375,7 +1397,7 @@ class Scorer:
         """Unpack the single fused fetch into the (prelim, d2) pair the
         column assembly consumes; returns None on budget overflow (caller
         reruns via the classic path)."""
-        packed = np.asarray(jax.device_get(d["fused"]))
+        packed = np.asarray(_dget(d["fused"]))
         Bc = d["Bc"]
         stats = packed[Bc : Bc + d["R"], :2]
         total = int(packed[-1, 0])
@@ -1596,7 +1618,7 @@ class Scorer:
     def _prelim_part(d, K):
         """Unpack one stage-1 dispatch into flat per-candidate arrays
         (m, pep, spec, z, iso) plus per-row (spec, mtot, scored)."""
-        out = jax.device_get(d["out_dev"])  # i32 [R, W+2 | K+3 | 2K+2]
+        out = _dget(d["out_dev"])  # i32 [R, W+2 | K+3 | 2K+2]
         n_rows, W = d["n_rows"], d["W"]
         p0, spec_idx = d["p0"], d["spec_idx"]
         packed = d.get("packed", False)
@@ -1614,7 +1636,7 @@ class Scorer:
             # matched (peak, charge) pairs on one candidate — never seen
             # in practice); redo this dispatch with the unpacked layout
             # so the top-K order is exact
-            out = np.asarray(jax.device_get(d["redo"]()))
+            out = np.asarray(_dget(d["redo"]()))
             packed = False
         if d["counts_only"]:
             counts = out[:n_rows, :W]
@@ -1747,7 +1769,7 @@ class Scorer:
             t = FeatureTable.empty()
             t.spec_ids = spec_ids
             return t
-        out = jax.device_get(d2["out_dev"])  # packed f32 [N, 7]
+        out = _dget(d2["out_dev"])  # packed f32 [N, 7]
         mb = out[:nI, 0].astype(np.int32)
         my = out[:nI, 1].astype(np.int32)
         sb, sy, ppm_sum = out[:nI, 2], out[:nI, 3], out[:nI, 4]
