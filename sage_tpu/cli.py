@@ -42,6 +42,14 @@ def main(argv=None) -> int:
         "--batch-size", type=int, default=0,
         help="Number of files to load and search in parallel (default = # CPUs/2)",
     )
+    ap.add_argument(
+        "--mesh-shape", default=None, metavar="DATA,MODEL",
+        help=(
+            "Device-mesh shape for multi-chip search, e.g. '4,2' = 4-way "
+            "data x 2-way index parallel (default: all devices on the "
+            "data axis; '1,1' forces single-device)"
+        ),
+    )
     ap.add_argument("--parquet", action="store_true", help="Write parquet output")
     ap.add_argument(
         "--annotate-matches", action="store_true",
@@ -68,6 +76,9 @@ def main(argv=None) -> int:
         write_report=args.write_report or None,
         annotate_matches=args.annotate_matches or None,
         parquet=args.parquet or None,
+        mesh_shape=tuple(int(x) for x in args.mesh_shape.split(","))
+        if args.mesh_shape else None,
+        batch_size=args.batch_size or None,
     )
     runner = Runner(search)
     result = runner.run()

@@ -484,7 +484,12 @@ class _DeviceTables:
 class Scorer:
     """Score ProcessedSpectrum batches against an IndexedDatabase."""
 
-    def __init__(self, db: IndexedDatabase, params: SearchParams):
+    def __init__(self, db: IndexedDatabase, params: SearchParams,
+                 build_device_tables: bool = True):
+        """``build_device_tables=False`` constructs only the host-side
+        machinery (row expansion, PreScore merge, feature assembly) —
+        the form `parallel.sharding.ShardedScorer` embeds, where device
+        work goes through the mesh instead of `_DeviceTables`."""
         from ..utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
@@ -493,7 +498,10 @@ class Scorer:
         self.series = tuple(db.ion_kinds)
         self.n_series = len(self.series)
         self.min_ion_index = db.min_ion_index
-        self.tables = _DeviceTables(db, self.series, self.min_ion_index)
+        self.tables = (
+            _DeviceTables(db, self.series, self.min_ion_index)
+            if build_device_tables else None
+        )
         # Global fragment-charge axis: 1..Zmax where Zmax is the largest
         # exclusive bound any precursor charge can produce.
         zmax = max(

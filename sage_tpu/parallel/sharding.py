@@ -398,31 +398,26 @@ class ShardedScorer:
         self.db = db
         self.mesh = mesh
         self.params = params
-        # reuse the host-side machinery (row expansion, merge, feature
-        # assembly) from the single-device scorer
-        self._host = Scorer.__new__(Scorer)
-        h = self._host
-        h.db = db
-        h.params = params
-        h.series = tuple(db.ion_kinds)
-        h.n_series = len(h.series)
-        h.min_ion_index = db.min_ion_index
-        from ..ops.search import max_fragment_charge
-
-        zmax = max(
-            max_fragment_charge(params.max_fragment_charge, z)
-            for z in range(1, params.max_precursor_charge + 1)
-        )
-        h.Z = max(zmax - 1, 1)
-        h.K = max(50, params.report_psms * 2)
-        h._stage1_cache = {}
-        h._stage2_cache = {}
-        h._psm_counter = 1
-        h.tables = None  # never used: device work goes through the mesh
+        # the single-device scorer's host-side machinery (row expansion,
+        # merge, feature assembly), without its device tables — device
+        # work goes through the mesh instead
+        self._host = h = Scorer(db, params, build_device_tables=False)
         self.search = ShardedSearch(
             db, mesh, params.fragment_tol, Z=h.Z, K=h.K
         )
         self._n_data = mesh.shape["data"]
+
+    def score(self, spectra):
+        """Row-wise Feature list (parity with Scorer.score)."""
+        return self.score_table(spectra).to_features()
+
+    def score_stream(self, batches):
+        """Drop-in for Scorer.score_stream: yield one FeatureTable per
+        batch. Each full_step is a single device dispatch; the host
+        finalize of batch N overlaps the mesh's work on batch N+1 only
+        via XLA's async dispatch (no host pipelining yet)."""
+        for batch in batches:
+            yield self.score_table(batch)
 
     def score_table(self, spectra):
         from ..ops.features import FeatureTable

@@ -121,6 +121,12 @@ class Search:
     protein_grouping_peptide_fdr: float = 0.01
     score_type: str = "SageHyperScore"
     bruker_config: Optional[dict] = None
+    # TPU-native extensions (no reference analog): device-mesh shape
+    # (data, model) for multi-chip search — None = auto (all devices on
+    # the data axis) — and the number of files read concurrently
+    # (main.rs:118-121's --batch-size; 0 = num_cpus/2).
+    mesh_shape: Optional[tuple] = None
+    batch_size: int = 0
     version: str = "0.1.0"
     output_paths: List[str] = dataclasses.field(default_factory=list)
 
@@ -171,6 +177,10 @@ class Search:
             "protein_grouping": self.protein_grouping,
             "protein_grouping_peptide_fdr": self.protein_grouping_peptide_fdr,
             "score_type": self.score_type,
+            **(
+                {"mesh_shape": list(self.mesh_shape)}
+                if self.mesh_shape is not None else {}
+            ),
         }
 
 
@@ -212,6 +222,8 @@ def build_search(
     write_report: Optional[bool] = None,
     annotate_matches: Optional[bool] = None,
     parquet: Optional[bool] = None,
+    mesh_shape: Optional[tuple] = None,
+    batch_size: Optional[int] = None,
 ) -> Search:
     """Input::build with CLI overrides (input.rs:199-246, 286-386)."""
     dbcfg = dict(cfg.get("database") or {})
@@ -292,4 +304,10 @@ def build_search(
         protein_grouping_peptide_fdr=cfg.get("protein_grouping_peptide_fdr") or 0.01,
         score_type=cfg.get("score_type") or "SageHyperScore",
         bruker_config=cfg.get("bruker_config"),
+        mesh_shape=tuple(mesh_shape)
+        if mesh_shape is not None
+        else (tuple(cfg["mesh_shape"]) if cfg.get("mesh_shape") else None),
+        batch_size=batch_size
+        if batch_size is not None
+        else int(cfg.get("batch_size") or 0),
     )

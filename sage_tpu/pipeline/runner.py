@@ -224,11 +224,46 @@ class Runner:
         )
         return db
 
+    def _make_scorer(self):
+        """Single-device or multi-chip scorer. The mesh is the execution
+        engine whenever more than one accelerator is visible (the analog
+        of the reference wiring its rayon pool globally, main.rs:107-116):
+        auto shape = (n_devices data, 1 model), overridable via the
+        `mesh_shape: [data, model]` config key, the `--mesh-shape` CLI
+        flag, or the SAGE_TPU_MESH env var ("data,model"; "1,1" forces
+        the single-device path)."""
+        import jax
+
+        p = self.parameters
+        shape = p.mesh_shape
+        env = os.environ.get("SAGE_TPU_MESH")
+        if env:
+            shape = tuple(int(x) for x in env.split(","))
+        n_dev = len(jax.devices())
+        if shape is None and n_dev > 1:
+            shape = (n_dev, 1)
+        if shape is None or shape[0] * shape[1] <= 1:
+            return Scorer(self.database, self.search_params())
+        if p.chimera or p.annotate_matches:
+            log.warning(
+                "multi-chip search does not yet cover chimera/"
+                "annotate_matches; using the single-device scorer"
+            )
+            return Scorer(self.database, self.search_params())
+        from ..parallel.sharding import ShardedScorer, make_mesh
+
+        log.info(
+            "multi-chip search: mesh = (%d data, %d model) over %d devices",
+            shape[0], shape[1], n_dev,
+        )
+        mesh = make_mesh(shape[0], shape[1])
+        return ShardedScorer(self.database, mesh, self.search_params())
+
     def run(self) -> dict:
         p = self.parameters
         if self.database is None:
             self.database = self._prefilter_database()
-        scorer = Scorer(self.database, self.search_params())
+        scorer = self._make_scorer()
 
         all_tables = []
         all_quant = []

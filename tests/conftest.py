@@ -20,3 +20,9 @@ if _platform == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# The Runner auto-selects the multi-chip ShardedScorer when it sees >1
+# device; default the suite to the single-device path (the 8 virtual CPU
+# devices above would otherwise flip EVERY pipeline test to the mesh).
+# Multi-chip pipeline tests override this per-test.
+os.environ.setdefault("SAGE_TPU_MESH", "1,1")

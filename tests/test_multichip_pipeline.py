@@ -1,0 +1,108 @@
+"""Multi-chip product wiring: the Runner auto-selects the mesh-sharded
+scorer when >1 device is visible (pipeline/runner.py:_make_scorer), and
+the CLI golden run must produce byte-identical TSV on a 1-device and an
+8-virtual-device mesh (the sharded path's bitwise mesh-invariance,
+parallel/sharding.py, carried all the way through the product surface).
+"""
+
+import os
+
+import pytest
+
+CONFIG = {
+    "database": {
+        "bucket_size": 16384,
+        "enzyme": {
+            "missed_cleavages": 1,
+            "min_len": 7,
+            "max_len": 30,
+            "cleave_at": "KR",
+            "restrict": "P",
+        },
+        "peptide_min_mass": 500.0,
+        "peptide_max_mass": 5000.0,
+        "min_ion_index": 2,
+        "static_mods": {"C": 57.0215},
+        "max_variable_mods": 2,
+        "decoy_tag": "rev_",
+        "fasta": "/root/reference/tests/Q99536.fasta",
+    },
+    "precursor_tol": {"ppm": [-50, 50]},
+    "fragment_tol": {"ppm": [-10, 10]},
+    "isotope_errors": [-1, 3],
+    "deisotope": True,
+    "mzml_paths": ["/root/reference/tests/LQSRPAAPPAPGPGQLTLR.mzML"],
+}
+
+
+def _run(outdir, mesh_env, monkeypatch, mesh_shape=None):
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    if mesh_env is None:
+        monkeypatch.delenv("SAGE_TPU_MESH", raising=False)
+    else:
+        monkeypatch.setenv("SAGE_TPU_MESH", mesh_env)
+    cfg = dict(CONFIG)
+    search = build_search(
+        cfg, output_directory=str(outdir), mesh_shape=mesh_shape
+    )
+    Runner(search).run()
+    with open(os.path.join(str(outdir), "results.sage.tsv"), "rb") as f:
+        return f.read()
+
+
+def _strip_psm_ids(tsv: bytes) -> bytes:
+    # psm_id is a global running counter (scoring.rs:163-166); it differs
+    # between runs in one process, like the reference's PSM_COUNTER
+    lines = tsv.decode().splitlines()
+    out = [lines[0]]
+    for line in lines[1:]:
+        cols = line.split("\t")
+        cols[0] = "_"
+        out.append("\t".join(cols))
+    return "\n".join(out).encode()
+
+
+@pytest.mark.parametrize("shape", ["8,1", "4,2"])
+def test_runner_mesh_matches_single_device(tmp_path, monkeypatch, shape):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = _run(tmp_path / "single", "1,1", monkeypatch)
+    meshed = _run(tmp_path / f"mesh{shape.replace(',', 'x')}", shape,
+                  monkeypatch)
+    assert _strip_psm_ids(single) == _strip_psm_ids(meshed)
+
+
+def test_runner_uses_sharded_scorer_on_multidevice(monkeypatch, tmp_path):
+    """_make_scorer returns a ShardedScorer when the mesh is >1 device
+    and falls back to the single-device Scorer for chimera runs."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+    from sage_tpu.ops.search import Scorer
+    from sage_tpu.parallel.sharding import ShardedScorer
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    monkeypatch.setenv("SAGE_TPU_MESH", "2,1")
+    cfg = dict(CONFIG)
+    search = build_search(cfg, output_directory=str(tmp_path))
+    r = Runner(search)
+    assert isinstance(r._make_scorer(), ShardedScorer)
+
+    search.chimera = True
+    assert isinstance(r._make_scorer(), Scorer)
+    search.chimera = False
+
+    # config mesh_shape flows through when the env var is unset
+    monkeypatch.delenv("SAGE_TPU_MESH", raising=False)
+    search.mesh_shape = (1, 1)
+    assert isinstance(r._make_scorer(), Scorer)
+    search.mesh_shape = (2, 2)
+    s = r._make_scorer()
+    assert isinstance(s, ShardedScorer)
+    assert dict(s.mesh.shape) == {"data": 2, "model": 2}
