@@ -57,6 +57,11 @@ from ..utils.compile_cache import enable_compile_cache as _enable_compile_cache
 
 class Runner:
     def __init__(self, parameters: Search):
+        from ..parallel.multihost import maybe_init_distributed
+
+        # distributed init must precede anything that could touch the XLA
+        # backend (including the compile-cache config)
+        self.process_id, self.process_count = maybe_init_distributed()
         _enable_compile_cache()
         self.parameters = parameters
         self.start = time.monotonic()
@@ -239,7 +244,14 @@ class Runner:
         env = os.environ.get("SAGE_TPU_MESH")
         if env:
             shape = tuple(int(x) for x in env.split(","))
-        n_dev = len(jax.devices())
+        # In multi-host mode each host searches its own file shard on its
+        # LOCAL devices only (the global program is per-host independent
+        # until the result gather) — a global mesh would demand SPMD
+        # lockstep across hosts that stream different files.
+        devices = (
+            jax.local_devices() if self.process_count > 1 else jax.devices()
+        )
+        n_dev = len(devices)
         if shape is None and n_dev > 1:
             shape = (n_dev, 1)
         if shape is None or shape[0] * shape[1] <= 1:
@@ -256,7 +268,7 @@ class Runner:
             "multi-chip search: mesh = (%d data, %d model) over %d devices",
             shape[0], shape[1], n_dev,
         )
-        mesh = make_mesh(shape[0], shape[1])
+        mesh = make_mesh(shape[0], shape[1], devices=devices)
         return ShardedScorer(self.database, mesh, self.search_params())
 
     def run(self) -> dict:
@@ -265,39 +277,56 @@ class Runner:
             self.database = self._prefilter_database()
         scorer = self._make_scorer()
 
-        all_tables = []
-        all_quant = []
-        all_ms1: List[ProcessedSpectrum] = []
+        from ..parallel.multihost import gather_file_results, shard_paths
+
+        # Per-host shard of the input files (global file_ids preserved);
+        # single-process runs see every file.
+        work = shard_paths(p.mzml_paths, self.process_id, self.process_count)
+        pieces = []  # (file_id, FeatureTable, tmt_quant, ms1)
         # Prefetch: parse/process the next file on a worker thread while
         # the device searches the current one (the runner-level analog of
         # the reference's parallel file reads, runner.rs:415-455).
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=1) as ex:
-            if not p.mzml_paths:
-                fut = None
-            else:
-                fut = ex.submit(self.read_file, p.mzml_paths[0], 0)
-            for file_id, path in enumerate(p.mzml_paths):
+            fut = (
+                ex.submit(self.read_file, work[0][1], work[0][0])
+                if work else None
+            )
+            for w, (file_id, path) in enumerate(work):
                 try:
                     spectra = fut.result()
                 except Exception as e:  # noqa: BLE001
                     # a failed read skips the file (runner.rs:429-438)
                     log.error("error parsing %s: %s", path, e)
                     spectra = None
-                if file_id + 1 < len(p.mzml_paths):
+                if w + 1 < len(work):
                     fut = ex.submit(
-                        self.read_file, p.mzml_paths[file_id + 1], file_id + 1
+                        self.read_file, work[w + 1][1], work[w + 1][0]
                     )
                 if spectra is None:
                     continue
                 feats, quant, ms1 = self.process_file(
                     scorer, path, file_id, spectra=spectra
                 )
-                all_tables.append(feats)
-                all_quant.extend(quant)
-                all_ms1.extend(ms1)
-        features = FeatureTable.concat(all_tables)
+                pieces.append((file_id, feats, quant, ms1))
+        if self.process_count > 1:
+            # Cross-host merge before the global stages (the analog of the
+            # reference's parallel SageResults reduce, output.rs:21-41);
+            # every host proceeds with the identical full result set.
+            pieces = gather_file_results(pieces)
+        all_quant = [q for _, _, quant, _ in pieces for q in quant]
+        all_ms1: List[ProcessedSpectrum] = [
+            m for _, _, _, ms1 in pieces for m in ms1
+        ]
+        features = FeatureTable.concat([t for _, t, _, _ in pieces])
+        # Deterministic PSM ids in global (file, batch, row) order — the
+        # identity for single-process runs, and process-count-invariant
+        # for multi-host ones (unlike the reference's racy global counter,
+        # scoring.rs:163-166).
+        features.columns["psm_id"][:] = np.arange(
+            1, len(features) + 1, dtype=np.int64
+        )
 
         alignments = None
         if p.predict_rt:
@@ -351,67 +380,68 @@ class Runner:
             "peptides only) at 1%% FDR", q_protein_group,
         )
 
-        writer = OutputWriter(self.database, p.output_directory)
-        if p.parquet:
-            # parquet output set replaces the TSVs (runner.rs:597-640)
-            from . import parquet_out
+        if self.process_id == 0:
+            writer = OutputWriter(self.database, p.output_directory)
+            if p.parquet:
+                # parquet output set replaces the TSVs (runner.rs:597-640)
+                from . import parquet_out
 
-            reporter = None
-            n_rep = 0
-            if all_quant and p.quant.tmt is not None:
-                reporter = {
-                    (q.file_id, q.spec_id): q.peaks for q in all_quant
-                }
-                n_rep = len(p.quant.tmt.headers())
-            out = os.path.join(p.output_directory, "results.sage.parquet")
-            p.output_paths.append(
-                parquet_out.write_features_parquet(
-                    out, self.database, features, filenames,
-                    reporter_ions=reporter, n_reporter=n_rep,
-                )
-            )
-            if p.annotate_matches:
+                reporter = None
+                n_rep = 0
+                if all_quant and p.quant.tmt is not None:
+                    reporter = {
+                        (q.file_id, q.spec_id): q.peaks for q in all_quant
+                    }
+                    n_rep = len(p.quant.tmt.headers())
+                out = os.path.join(p.output_directory, "results.sage.parquet")
                 p.output_paths.append(
-                    parquet_out.write_fragments_parquet(
-                        os.path.join(
-                            p.output_directory,
-                            "matched_fragments.sage.parquet",
-                        ),
-                        features,
+                    parquet_out.write_features_parquet(
+                        out, self.database, features, filenames,
+                        reporter_ions=reporter, n_reporter=n_rep,
                     )
                 )
-            if areas is not None:
-                p.output_paths.append(
-                    parquet_out.write_lfq_parquet(
-                        os.path.join(p.output_directory, "lfq.parquet"),
-                        self.database, areas, filenames,
+                if p.annotate_matches:
+                    p.output_paths.append(
+                        parquet_out.write_fragments_parquet(
+                            os.path.join(
+                                p.output_directory,
+                                "matched_fragments.sage.parquet",
+                            ),
+                            features,
+                        )
                     )
-                )
-        else:
-            p.output_paths.append(writer.write_features(features, filenames))
-            if p.annotate_matches:
-                p.output_paths.append(writer.write_fragments(features))
-            if all_quant:
-                p.output_paths.append(
-                    writer.write_tmt(all_quant, p.quant.tmt, filenames)
-                )
-            if areas is not None:
-                p.output_paths.append(writer.write_lfq(areas, filenames))
-        if p.write_pin:
-            p.output_paths.append(writer.write_pin(features, filenames))
-        if p.write_report:
-            from .report import render_report
+                if areas is not None:
+                    p.output_paths.append(
+                        parquet_out.write_lfq_parquet(
+                            os.path.join(p.output_directory, "lfq.parquet"),
+                            self.database, areas, filenames,
+                        )
+                    )
+            else:
+                p.output_paths.append(writer.write_features(features, filenames))
+                if p.annotate_matches:
+                    p.output_paths.append(writer.write_fragments(features))
+                if all_quant:
+                    p.output_paths.append(
+                        writer.write_tmt(all_quant, p.quant.tmt, filenames)
+                    )
+                if areas is not None:
+                    p.output_paths.append(writer.write_lfq(areas, filenames))
+            if p.write_pin:
+                p.output_paths.append(writer.write_pin(features, filenames))
+            if p.write_report:
+                from .report import render_report
 
-            rp = os.path.join(p.output_directory, "sage.report.html")
-            with open(rp, "w") as f:
-                f.write(
-                    render_report(
-                        features, filenames, p.to_json_dict(), areas,
-                        version=p.version,
+                rp = os.path.join(p.output_directory, "sage.report.html")
+                with open(rp, "w") as f:
+                    f.write(
+                        render_report(
+                            features, filenames, p.to_json_dict(), areas,
+                            version=p.version,
+                        )
                     )
-                )
-            p.output_paths.append(rp)
-        p.output_paths.append(writer.write_results_json(p.to_json_dict()))
+                p.output_paths.append(rp)
+            p.output_paths.append(writer.write_results_json(p.to_json_dict()))
 
         run_time = int(time.monotonic() - self.start)
         log.info("finished in %ds", run_time)
