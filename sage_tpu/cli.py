@@ -59,7 +59,12 @@ def main(argv=None) -> int:
     ap.add_argument("--write-report", action="store_true", help="Write HTML QC report")
     ap.add_argument(
         "--disable-telemetry-i-dont-want-to-improve-sage", action="store_true",
-        dest="disable_telemetry", help="Disable telemetry (no-op: never sent)",
+        dest="disable_telemetry",
+        help=(
+            "Disable telemetry. Telemetry is only ever POSTed when the "
+            "SAGE_TPU_TELEMETRY_URL environment variable is set; without "
+            "it nothing is sent regardless of this flag"
+        ),
     )
     args = ap.parse_args(argv)
 

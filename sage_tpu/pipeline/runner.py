@@ -271,6 +271,15 @@ class Runner:
         mesh = make_mesh(shape[0], shape[1], devices=devices)
         return ShardedScorer(self.database, mesh, self.search_params())
 
+    def _file_workers(self) -> int:
+        """Number of files read/processed concurrently: the --batch-size
+        flag / batch_size config key, defaulting to num_cpus/2 like the
+        reference (main.rs:118-121), floor 1."""
+        n = self.parameters.batch_size
+        if n <= 0:
+            n = (os.cpu_count() or 1) // 2
+        return max(int(n), 1)
+
     def run(self) -> dict:
         p = self.parameters
         if self.database is None:
@@ -283,26 +292,31 @@ class Runner:
         # single-process runs see every file.
         work = shard_paths(p.mzml_paths, self.process_id, self.process_count)
         pieces = []  # (file_id, FeatureTable, tmt_quant, ms1)
-        # Prefetch: parse/process the next file on a worker thread while
-        # the device searches the current one (the runner-level analog of
-        # the reference's parallel file reads, runner.rs:415-455).
+        # File-batch parallelism: up to `--batch-size` files are parsed/
+        # processed concurrently on worker threads (main.rs:118-121's
+        # default num_cpus/2, runner.rs:482-489) while the device searches
+        # files in order — the window both overlaps host I/O with device
+        # compute and bounds spectra held in RAM, like the reference's
+        # file chunks.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = (
-                ex.submit(self.read_file, work[0][1], work[0][0])
-                if work else None
-            )
+        n_workers = self._file_workers()
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs = {
+                w: ex.submit(self.read_file, path, fid)
+                for w, (fid, path) in enumerate(work[:n_workers])
+            }
             for w, (file_id, path) in enumerate(work):
                 try:
-                    spectra = fut.result()
+                    spectra = futs.pop(w).result()
                 except Exception as e:  # noqa: BLE001
                     # a failed read skips the file (runner.rs:429-438)
                     log.error("error parsing %s: %s", path, e)
                     spectra = None
-                if w + 1 < len(work):
-                    fut = ex.submit(
-                        self.read_file, work[w + 1][1], work[w + 1][0]
+                nxt = w + n_workers
+                if nxt < len(work):
+                    futs[nxt] = ex.submit(
+                        self.read_file, work[nxt][1], work[nxt][0]
                     )
                 if spectra is None:
                     continue
