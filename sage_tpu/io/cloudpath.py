@@ -106,14 +106,55 @@ def _read_cloud_bytes(scheme: str, url: str) -> bytes:
         return blob.download_as_bytes()
     if scheme in ("az", "azure", "adl", "abfs", "abfss"):
         try:
-            from azure.storage.blob import BlobServiceClient  # noqa: F401
+            from azure.storage.blob import BlobServiceClient
         except ImportError as e:
             raise RuntimeError(
                 f"reading {url} requires azure-storage-blob (not installed "
                 "in this environment)"
             ) from e
-        raise RuntimeError(f"azure URL support requires configuration: {url}")
+        container, account, key = _parse_azure_url(scheme, url)
+        conn = os.environ.get("AZURE_STORAGE_CONNECTION_STRING")
+        if conn:
+            svc = BlobServiceClient.from_connection_string(conn)
+        else:
+            account = account or os.environ.get("AZURE_STORAGE_ACCOUNT")
+            if not account:
+                raise RuntimeError(
+                    f"reading {url} needs the storage account: use an "
+                    "abfss://container@account.dfs.core.windows.net/path "
+                    "URL or set AZURE_STORAGE_ACCOUNT / "
+                    "AZURE_STORAGE_CONNECTION_STRING"
+                )
+            cred = os.environ.get("AZURE_STORAGE_ACCESS_KEY")
+            if cred is None:
+                try:
+                    from azure.identity import DefaultAzureCredential
+
+                    cred = DefaultAzureCredential()
+                except ImportError:
+                    cred = None  # anonymous/public access
+            svc = BlobServiceClient(
+                account_url=f"https://{account}.blob.core.windows.net",
+                credential=cred,
+            )
+        blob = svc.get_blob_client(container=container, blob=key)
+        return blob.download_blob().readall()
     raise RuntimeError(f"unsupported scheme {scheme!r} for {url}")
+
+
+def _parse_azure_url(scheme: str, url: str) -> Tuple[str, Optional[str], str]:
+    """(container, account_or_None, blob_key) from the Azure URL forms the
+    reference's object_store accepts (sage-cloudpath/src/lib.rs:65-89):
+    `az://container/key` (account from env) and
+    `abfs[s]://container@account.dfs.core.windows.net/key`."""
+    parsed = urllib.parse.urlparse(url)
+    key = parsed.path.lstrip("/")
+    netloc = parsed.netloc
+    if "@" in netloc:
+        container, host = netloc.split("@", 1)
+        account = host.split(".", 1)[0]
+        return container, account, key
+    return netloc, None, key
 
 
 def read_bytes(s: str) -> bytes:

@@ -107,3 +107,142 @@ def test_cloud_scheme_gating():
     # credentials/egress the read still fails loudly
     with pytest.raises(Exception):
         read_bytes("gs://bucket/key")
+
+
+# ---------------------------------------------------------------------------
+# Fake-SDK cloud reads: execute the gated s3/gs/az code paths end-to-end
+# (recorded-bytes fakes injected as the SDK modules), including gzip
+# transparency — parity with object_store's scheme handling
+# (sage-cloudpath/src/lib.rs:65-89).
+# ---------------------------------------------------------------------------
+
+import gzip
+import sys
+import types
+
+
+def _module(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    return m
+
+
+def test_s3_read_with_fake_boto3(monkeypatch):
+    from sage_tpu.io.cloudpath import read_bytes
+
+    calls = {}
+
+    class FakeS3:
+        def get_object(self, Bucket, Key):
+            calls["bucket"], calls["key"] = Bucket, Key
+            body = types.SimpleNamespace(read=lambda: b"s3-bytes")
+            return {"Body": body}
+
+    monkeypatch.setitem(
+        sys.modules, "boto3", _module("boto3", client=lambda kind: FakeS3())
+    )
+    assert read_bytes("s3://my-bucket/data/run.mzML") == b"s3-bytes"
+    assert calls == {"bucket": "my-bucket", "key": "data/run.mzML"}
+
+
+def test_gs_read_with_fake_sdk(monkeypatch):
+    from sage_tpu.io.cloudpath import read_bytes
+
+    calls = {}
+
+    class FakeBlob:
+        def __init__(self, name):
+            calls["key"] = name
+
+        def download_as_bytes(self):
+            return gzip.compress(b"gs-payload")
+
+    class FakeBucket:
+        def __init__(self, name):
+            calls["bucket"] = name
+
+        def blob(self, name):
+            return FakeBlob(name)
+
+    class FakeClient:
+        def bucket(self, name):
+            return FakeBucket(name)
+
+    storage = _module("google.cloud.storage", Client=FakeClient)
+    cloud = _module("google.cloud", storage=storage)
+    monkeypatch.setitem(sys.modules, "google.cloud", cloud)
+    monkeypatch.setitem(sys.modules, "google.cloud.storage", storage)
+    # gzip transparency applies to cloud reads too
+    assert read_bytes("gs://gbucket/x/y.mzML.gz") == b"gs-payload"
+    assert calls == {"bucket": "gbucket", "key": "x/y.mzML.gz"}
+
+
+def _fake_azure(monkeypatch, calls):
+    class FakeDownload:
+        def readall(self):
+            return b"az-bytes"
+
+    class FakeBlobClient:
+        def download_blob(self):
+            return FakeDownload()
+
+    class FakeService:
+        def __init__(self, account_url=None, credential=None):
+            calls["account_url"] = account_url
+
+        @classmethod
+        def from_connection_string(cls, conn):
+            calls["conn"] = conn
+            return cls()
+
+        def get_blob_client(self, container, blob):
+            calls["container"], calls["blob"] = container, blob
+            return FakeBlobClient()
+
+    blob_mod = _module("azure.storage.blob", BlobServiceClient=FakeService)
+    storage_mod = _module("azure.storage", blob=blob_mod)
+    azure_mod = _module("azure", storage=storage_mod)
+    monkeypatch.setitem(sys.modules, "azure", azure_mod)
+    monkeypatch.setitem(sys.modules, "azure.storage", storage_mod)
+    monkeypatch.setitem(sys.modules, "azure.storage.blob", blob_mod)
+
+
+def test_az_read_account_from_env(monkeypatch):
+    from sage_tpu.io.cloudpath import read_bytes
+
+    calls = {}
+    _fake_azure(monkeypatch, calls)
+    monkeypatch.delenv("AZURE_STORAGE_CONNECTION_STRING", raising=False)
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", "myacct")
+    monkeypatch.setenv("AZURE_STORAGE_ACCESS_KEY", "sekrit")
+    assert read_bytes("az://cont/path/to/run.mzML") == b"az-bytes"
+    assert calls["account_url"] == "https://myacct.blob.core.windows.net"
+    assert calls["container"] == "cont"
+    assert calls["blob"] == "path/to/run.mzML"
+
+
+def test_az_read_abfss_url_and_connection_string(monkeypatch):
+    from sage_tpu.io.cloudpath import _parse_azure_url, read_bytes
+
+    assert _parse_azure_url(
+        "abfss", "abfss://cont@acct.dfs.core.windows.net/a/b.mzML"
+    ) == ("cont", "acct", "a/b.mzML")
+
+    calls = {}
+    _fake_azure(monkeypatch, calls)
+    monkeypatch.setenv("AZURE_STORAGE_CONNECTION_STRING", "UseDev=1")
+    assert read_bytes("abfss://c2@acct.dfs.core.windows.net/k.mzML") == b"az-bytes"
+    assert calls["conn"] == "UseDev=1"
+    assert calls["container"] == "c2" and calls["blob"] == "k.mzML"
+
+
+def test_az_read_missing_account_raises(monkeypatch):
+    from sage_tpu.io.cloudpath import read_bytes
+
+    calls = {}
+    _fake_azure(monkeypatch, calls)
+    monkeypatch.delenv("AZURE_STORAGE_CONNECTION_STRING", raising=False)
+    monkeypatch.delenv("AZURE_STORAGE_ACCOUNT", raising=False)
+    with pytest.raises(RuntimeError, match="AZURE_STORAGE_ACCOUNT"):
+        read_bytes("az://cont/key")
