@@ -32,7 +32,7 @@ import jax  # noqa: E402
 if os.environ.get("SAGE_TPU_SCALING_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-import bench as B  # noqa: E402
+from sage_tpu import bench_baseline as B  # noqa: E402
 from sage_tpu.chem.fasta import Fasta  # noqa: E402
 from sage_tpu.chem.mass import Tolerance  # noqa: E402
 from sage_tpu.index.builder import DatabaseParams  # noqa: E402

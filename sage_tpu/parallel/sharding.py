@@ -235,7 +235,7 @@ class ShardedSearch:
     # Full sharded search step (stage 1 + stage 2)
     # ------------------------------------------------------------------
 
-    def _build_full(self, R: int, Pk: int):
+    def _build_full(self, R: int, Pk: int, Bc: int):
         """One jitted device program: sharded preliminary scoring, global
         top-K merge, then the full candidate rescore with OWNER-COMPUTES
         sharding — each model shard rescores only the top-K candidates
@@ -243,7 +243,17 @@ class ShardedSearch:
         over "model" assembles the complete per-candidate features. The
         per-candidate sequential f32 sums run entirely on the owning
         shard, so results are bit-identical to the single-device stage 2
-        for any mesh shape."""
+        for any mesh shape.
+
+        Stage 2 is COMPACTED (the sharded analog of the fused path's
+        matched>0 compaction, scoring.rs:478-595 — only top-K hits get
+        the full rescore): each shard packs its live owned (count > 0)
+        items to the front with a stable sort and rescores only the
+        first `Bc` slots, scattering features back to the [R_l, K] grid.
+        The per-shard live count is returned so the host can detect a
+        clipped budget and redo at a larger Bc (full_step grows the
+        cached budget — same adapt-and-redo contract as the fused
+        path's `_bc_hint`)."""
         from ..ops.search import rescore_candidate
 
         mesh = self.mesh
@@ -253,9 +263,10 @@ class ShardedSearch:
         Z = self.Z
         K = self.K
         n_model = mesh.shape["model"]
+        n_data = mesh.shape["data"]
         P_local = tables.P_pad // n_model
         L = tables.L
-        stage1 = None  # built inline below to share one shard_map
+        R_l = R // n_data
 
         def local_shard(
             peaks, intens, prec_lo, prec_hi, maxz,
@@ -295,56 +306,12 @@ class ShardedSearch:
             gvals = -sc[:, :K]
             gpep = -sp[:, :K]
 
-            # ---- stage 2, owner-computes: full (non-index-filtered)
-            # ladders for candidates this shard owns
-            ion_idx = jnp.arange(L, dtype=jnp.int32)
-
-            def item(pk, pki_row, pep_g, mz, has):
-                owned = (pep_g >= base) & (pep_g < base + P_local) & has
-                lp = jnp.clip(pep_g - base, 0, P_local - 1)
-                f = ion_ladders(
-                    resmass[lp][None, :], nterm[lp][None], mono[lp][None],
-                    series,
-                )[:, 0, :]
-                n_ions = jnp.maximum(lens[lp] - 1, 0)
-                fvalid = jnp.broadcast_to(
-                    ion_idx[None, :] < n_ions, (len(series), L)
-                )
-                out = rescore_candidate(
-                    f, fvalid, pk, pki_row, mz,
-                    series=series, frag_tol=frag_tol, Z=Z,
-                )
-                return tuple(
-                    jnp.where(owned, o.astype(jnp.float32), np.float32(0.0))
-                    for o in out
-                )
-
-            def row_items(pk, pki_row, peps, mz, vals_row):
-                # chunk the K-candidate rescore (scan over chunks) so the
-                # [chunk, S, L, Pk] intermediates stay bounded — the
-                # sharded demo path rescores all top-K without the fused
-                # path's matched>0 compaction
-                CH = 10
-                KK = peps.shape[0]
-                pad = (-KK) % CH
-                peps_c = jnp.pad(peps, (0, pad)).reshape(-1, CH)
-                vals_c = jnp.pad(vals_row, (0, pad)).reshape(-1, CH)
-
-                def chunk(carry, pv):
-                    p, v = pv
-                    out = jax.vmap(
-                        lambda pg, hv: item(pk, pki_row, pg, mz, hv > 0)
-                    )(p, v)
-                    return carry, out
-
-                _, outs = jax.lax.scan(chunk, 0, (peps_c, vals_c))
-                return tuple(o.reshape(-1)[:KK] for o in outs)
-
-            feats = jax.vmap(row_items)(
-                peaks, intens, gpep, maxz, gvals
-            )  # tuple of [R_l, K]
-            feats = tuple(jax.lax.psum(x, "model") for x in feats)
-            return (gvals, gpep) + feats + (mtot, scored)
+            # ---- stage 2, owner-computes + live compaction
+            feats, nl = self._owner_stage2(
+                gvals, gpep, peaks, intens, maxz, base,
+                resmass, nterm, mono, lens, Bc, R_l,
+            )
+            return (gvals, gpep) + feats + (mtot, scored, nl[None])
 
         fn = shard_map(
             local_shard,
@@ -354,7 +321,9 @@ class ShardedSearch:
                 P("data"), P("data"), P("data"),
                 P("model", None), P("model"), P("model"), P("model"),
             ),
-            out_specs=(P("data", None),) * 9 + (P("data"), P("data")),
+            out_specs=(
+                (P("data", None),) * 9 + (P("data"), P("data"), P("data"))
+            ),
             check_vma=False,
         )
 
@@ -367,16 +336,250 @@ class ShardedSearch:
 
         return jax.jit(run)
 
+    def _owner_stage2(
+        self, gvals, gpep, peaks, intens, maxz, base,
+        resmass, nterm, mono, lens, Bc: int, R_l: int,
+    ):
+        """Owner-computes full rescore of the merged top-K grid with live
+        compaction (the sharded analog of the fused path's matched>0
+        compaction — only top-K hits get the full rescore,
+        scoring.rs:478-595): this shard packs its live owned (count > 0)
+        items to the front with a stable sort, rescores only the first
+        `Bc` slots in CH-chunked scans, and scatters features back to the
+        [R_l, K] grid; a psum over "model" assembles the complete grid.
+        Returns (feature tuple, per-shard max live count — the host's
+        budget-overflow signal). Runs inside shard_map."""
+        from ..ops.search import rescore_candidate
+
+        series = self.series
+        frag_tol = self.frag_tol
+        Z = self.Z
+        K = self.K
+        tables = self.tables
+        L = tables.L
+        n_model = self.mesh.shape["model"]
+        P_local = tables.P_pad // n_model
+
+        flat_v = gvals.reshape(-1)  # [R_l * K]
+        flat_p = gpep.reshape(-1)
+        owned = (flat_p >= base) & (flat_p < base + P_local)
+        live = (flat_v > 0) & owned
+        n_live = jnp.sum(live.astype(jnp.int32))
+        # stable sort packs live item indices to the front
+        order = jnp.argsort(
+            jnp.where(live, 0, 1).astype(jnp.int32), stable=True
+        )
+        CH = 32
+        Bp = ((Bc + CH - 1) // CH) * CH  # scan-chunk-padded budget
+        take = order[:Bc]  # [Bc] flat (row, k) indices
+        take = jnp.pad(take, (0, Bp - Bc))
+        t_valid = jnp.arange(Bp, dtype=jnp.int32) < jnp.minimum(
+            n_live, np.int32(Bc)
+        )
+        rows_i = (take // K).astype(jnp.int32)
+        pep_g = flat_p[take]
+        lp = jnp.clip(pep_g - base, 0, P_local - 1)
+        ion_idx = jnp.arange(L, dtype=jnp.int32)
+
+        def item(row, lpp, ok):
+            f = ion_ladders(
+                resmass[lpp][None, :], nterm[lpp][None], mono[lpp][None],
+                series,
+            )[:, 0, :]
+            n_ions = jnp.maximum(lens[lpp] - 1, 0)
+            fvalid = jnp.broadcast_to(
+                ion_idx[None, :] < n_ions, (len(series), L)
+            )
+            out = rescore_candidate(
+                f, fvalid, peaks[row], intens[row], maxz[row],
+                series=series, frag_tol=frag_tol, Z=Z,
+            )
+            return tuple(
+                jnp.where(ok, o.astype(jnp.float32), np.float32(0.0))
+                for o in out
+            )
+
+        # chunked scan bounds the [CH, S, L, Pk] rescore intermediates
+        rows_c = rows_i.reshape(-1, CH)
+        lp_c = lp.reshape(-1, CH)
+        ok_c = t_valid.reshape(-1, CH)
+
+        def chunk(carry, rlo):
+            r, lpp, ok = rlo
+            return carry, jax.vmap(item)(r, lpp, ok)
+
+        _, outs = jax.lax.scan(chunk, 0, (rows_c, lp_c, ok_c))
+        zeros = jnp.zeros(R_l * K, jnp.float32)
+        feats = tuple(jnp.asarray(o).reshape(-1) for o in outs)
+        feats = tuple(
+            jax.lax.psum(
+                zeros.at[take].add(
+                    jnp.where(t_valid, o, np.float32(0.0))
+                ).reshape(R_l, K),
+                "model",
+            )
+            for o in feats
+        )
+        nl = jax.lax.pmax(n_live, "model")
+        return feats, nl
+
+    def _build_windowed(self, R: int, Pk: int, W: int, Bc: int):
+        """Windowed sharded search step — the production NARROW-search
+        multi-chip path. Unlike `_build_full` (which scans every local
+        peptide per row — the right shape only when precursor windows
+        span most of the table, i.e. open search), each row's candidate
+        set here is the [i0, i1) slice of the mass-sorted peptide table
+        (width <= W, the single-device stage-1 shape, ops/search.py
+        _build_stage1). Every model shard slices the overlap of that
+        window with its local peptide range (narrow windows hit 1-2
+        shards; non-overlapping shards do masked no-op work), so
+        per-shard stage-1 compute is R_l x W x ions — the single-device
+        cost divided by the data axis — instead of R_l x P_local.
+        Merge and owner-computes compacted stage 2 are shared with the
+        full path."""
+        mesh = self.mesh
+        tables = self.tables
+        series = self.series
+        frag_tol = self.frag_tol
+        Z = self.Z
+        K = self.K
+        n_model = mesh.shape["model"]
+        n_data = mesh.shape["data"]
+        P_local = tables.P_pad // n_model
+        L = tables.L
+        R_l = R // n_data
+        assert W <= P_local, (W, P_local)
+
+        def local_shard(
+            peaks, intens, i0, i1, maxz,
+            resmass, nterm, mono, lens,
+        ):
+            shard_id = jax.lax.axis_index("model")
+            base = shard_id.astype(jnp.int32) * P_local
+
+            def per_row(pk, g0, g1, mz):
+                # local overlap of the global index window [g0, g1)
+                lo_l = jnp.clip(g0 - base, 0, P_local)
+                hi_l = jnp.clip(g1 - base, 0, P_local)
+                p0 = jnp.clip(lo_l, 0, P_local - W)
+                res = jax.lax.dynamic_slice(resmass, (p0, 0), (W, L))
+                ntm = jax.lax.dynamic_slice(nterm, (p0,), (W,))
+                mono_c = jax.lax.dynamic_slice(mono, (p0,), (W,))
+                lens_c = jax.lax.dynamic_slice(lens, (p0,), (W,))
+                f = ion_ladders(res, ntm, mono_c, series)  # [S, W, L]
+                fvalid = series_valid_mask(
+                    lens_c, L, series, self.min_ion_index
+                )
+                lidx = p0 + jnp.arange(W, dtype=jnp.int32)
+                cand_valid = (lidx >= lo_l) & (lidx < hi_l)
+                counts = count_fragment_matches(
+                    f, fvalid, pk, frag_tol, mz, Z
+                )
+                counts = jnp.where(cand_valid, counts, 0)
+                matched_total = jnp.sum(counts)
+                scored = jnp.sum((counts > 0).astype(jnp.int32))
+                # top-k with ties to the higher peptide index (PreScore
+                # Ord): reversed-axis top_k, like the single-device path
+                k = min(K, W)
+                rev = counts[::-1]
+                vals, ridx = jax.lax.top_k(rev, k)
+                pep = base + p0 + (W - 1 - ridx)
+                if k < K:
+                    vals = jnp.pad(vals, (0, K - k))
+                    pep = jnp.pad(pep, (0, K - k), constant_values=-1)
+                return vals, pep, matched_total, scored
+
+            vals, pep, mtot, scored = jax.vmap(per_row)(
+                peaks, i0, i1, maxz
+            )
+            mtot = jax.lax.psum(mtot, "model")
+            scored = jax.lax.psum(scored, "model")
+            allv = jax.lax.all_gather(vals, "model", axis=1, tiled=True)
+            allp = jax.lax.all_gather(pep, "model", axis=1, tiled=True)
+            sc, sp = jax.lax.sort((-allv, -allp), dimension=1, num_keys=2)
+            gvals = -sc[:, :K]
+            gpep = -sp[:, :K]
+            feats, nl = self._owner_stage2(
+                gvals, gpep, peaks, intens, maxz, base,
+                resmass, nterm, mono, lens, Bc, R_l,
+            )
+            return (gvals, gpep) + feats + (mtot, scored, nl[None])
+
+        fn = shard_map(
+            local_shard,
+            mesh=mesh,
+            in_specs=(
+                P("data", None), P("data", None),
+                P("data"), P("data"), P("data"),
+                P("model", None), P("model"), P("model"), P("model"),
+            ),
+            out_specs=(
+                (P("data", None),) * 9 + (P("data"), P("data"), P("data"))
+            ),
+            check_vma=False,
+        )
+
+        def run(peaks, intens, i0, i1, maxz):
+            return fn(
+                peaks, intens, i0, i1, maxz,
+                self.tables.resmass, self.tables.nterm,
+                self.tables.mono, self.tables.lens,
+            )
+
+        return jax.jit(run)
+
+    def windowed_step(self, peaks, intens, i0, i1, maxz, W: int):
+        """Windowed sharded search step (narrow regime): query windows
+        are [i0, i1) peptide-INDEX ranges (i32 [R]), W the static pow2
+        window width (>= every i1-i0). Same outputs and budget-growth
+        contract as full_step."""
+        R, Pk = peaks.shape
+        n_data = self.mesh.shape["data"]
+        cap = (R // n_data) * self.K
+        key = ("bc", R, Pk)
+        Bc = self._fn_cache.get(key, self._initial_bc(R))
+        while True:
+            fkey = ("win", R, Pk, W, Bc)
+            if fkey not in self._fn_cache:
+                self._fn_cache[fkey] = self._build_windowed(R, Pk, W, Bc)
+            out = self._fn_cache[fkey](peaks, intens, i0, i1, maxz)
+            n_live = int(np.max(np.asarray(out[11])))
+            if n_live <= Bc or Bc >= cap:
+                self._fn_cache[key] = Bc
+                return out[:11]
+            Bc = min(next_power_of_two(max(n_live, Bc * 2)), cap)
+
+    def _initial_bc(self, R: int) -> int:
+        """Starting per-shard stage-2 item budget: ~8 live candidates per
+        local row (live items are usually a small fraction of the K=50
+        top-K slots), pow2-rounded, never above the rescore-everything
+        bound R_l * K."""
+        n_data = self.mesh.shape["data"]
+        R_l = max(R // n_data, 1)
+        cap = R_l * self.K
+        return min(next_power_of_two(max(256, R_l * 8)), cap)
+
     def full_step(self, peaks, intens, prec_lo, prec_hi, maxz):
         """Complete sharded search step. Returns (counts [R, K],
         peptide [R, K], mb, my, summed_b, summed_y, ppm_sum, longest_b,
         longest_y — each f32 [R, K] — plus matched_total [R] and
-        scored_candidates [R])."""
+        scored_candidates [R]). Grows the per-shape stage-2 budget and
+        re-dispatches when a shard's live candidates exceeded it."""
         R, Pk = peaks.shape
-        key = ("full", R, Pk)
-        if key not in self._fn_cache:
-            self._fn_cache[key] = self._build_full(R, Pk)
-        return self._fn_cache[key](peaks, intens, prec_lo, prec_hi, maxz)
+        n_data = self.mesh.shape["data"]
+        cap = (R // n_data) * self.K
+        key = ("bc", R, Pk)
+        Bc = self._fn_cache.get(key, self._initial_bc(R))
+        while True:
+            fkey = ("full", R, Pk, Bc)
+            if fkey not in self._fn_cache:
+                self._fn_cache[fkey] = self._build_full(R, Pk, Bc)
+            out = self._fn_cache[fkey](peaks, intens, prec_lo, prec_hi, maxz)
+            n_live = int(np.max(np.asarray(out[11])))
+            if n_live <= Bc or Bc >= cap:
+                self._fn_cache[key] = Bc
+                return out[:11]
+            Bc = min(next_power_of_two(max(n_live, Bc * 2)), cap)
 
 
 class ShardedScorer:
@@ -435,31 +638,51 @@ class ShardedScorer:
         mono = self.db.table.mono
         peaks_r = np.full((R, Pk), np.inf, np.float32)
         intens_r = np.full((R, Pk), -1.0, np.float32)
-        lo = np.zeros(R, np.float32)
-        hi = np.full(R, -1.0, np.float32)  # empty window for padding rows
         maxz = np.full(R, 2, np.int32)
         peaks_r[:n_rows] = masses[rows["si"]]
         intens_r[:n_rows] = intens[rows["si"]]
-        # full_step windows are mass ranges [lo, hi]: reconstruct the f32
-        # range endpoints from the peptide-index window so membership is
-        # identical to the single-device candidate range
-        lo[:n_rows] = np.where(
-            rows["i0"] < len(mono), mono[np.minimum(rows["i0"], len(mono) - 1)],
-            np.float32(np.inf),
-        )
-        hi[:n_rows] = np.where(
-            rows["i1"] > 0, mono[np.maximum(rows["i1"] - 1, 0)],
-            np.float32(-np.inf),
-        )
-        # empty [i0, i1) windows must stay empty
-        empty = rows["i1"] <= rows["i0"]
-        lo[:n_rows][empty] = np.float32(np.inf)
-        hi[:n_rows][empty] = np.float32(-np.inf)
         cfg = self.params.max_fragment_charge
         cap = np.minimum(rows["z"], cfg + 1) if cfg is not None else rows["z"]
         maxz[:n_rows] = np.maximum(cap, 2)
 
-        out = self.search.full_step(peaks_r, intens_r, lo, hi, maxz)
+        import os
+
+        max_win = int((rows["i1"] - rows["i0"]).max()) if n_rows else 1
+        W = next_power_of_two(max(max_win, 8))
+        P_local = self.search.tables.P_pad // self.mesh.shape["model"]
+        windowed = W <= P_local and os.environ.get(
+            "SAGE_TPU_SHARD_WINDOWED", "1"
+        ) != "0"
+        if windowed:
+            # narrow regime: [i0, i1) peptide-index windows, W-wide
+            # dynamic slices per shard (single-device stage-1 shape / n_data)
+            i0 = np.zeros(R, np.int32)
+            i1 = np.zeros(R, np.int32)  # empty window for padding rows
+            i0[:n_rows] = rows["i0"]
+            i1[:n_rows] = rows["i1"]
+            out = self.search.windowed_step(
+                peaks_r, intens_r, i0, i1, maxz, W
+            )
+        else:
+            # open regime: whole-table scan per shard with f32 mass-range
+            # membership; endpoints reconstructed from the index window so
+            # membership is identical to the single-device candidate range
+            lo = np.zeros(R, np.float32)
+            hi = np.full(R, -1.0, np.float32)
+            lo[:n_rows] = np.where(
+                rows["i0"] < len(mono),
+                mono[np.minimum(rows["i0"], len(mono) - 1)],
+                np.float32(np.inf),
+            )
+            hi[:n_rows] = np.where(
+                rows["i1"] > 0, mono[np.maximum(rows["i1"] - 1, 0)],
+                np.float32(-np.inf),
+            )
+            # empty [i0, i1) windows must stay empty
+            empty = rows["i1"] <= rows["i0"]
+            lo[:n_rows][empty] = np.float32(np.inf)
+            hi[:n_rows][empty] = np.float32(-np.inf)
+            out = self.search.full_step(peaks_r, intens_r, lo, hi, maxz)
         counts, pep = (np.asarray(x) for x in out[:2])
         feats = [np.asarray(x) for x in out[2:9]]
         row_mtot = np.asarray(out[9])

@@ -147,9 +147,14 @@ def test_full_step_matches_scorer_stage2(db, queries):
 
 
 @pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8)])
-def test_sharded_scorer_matches_single_device(db, shape):
+@pytest.mark.parametrize("path", ["windowed", "full"])
+def test_sharded_scorer_matches_single_device(db, shape, path, monkeypatch):
     """ShardedScorer.score_table must equal the single-device Scorer's
-    FeatureTable bitwise, for any mesh shape."""
+    FeatureTable bitwise, for any mesh shape, on BOTH the windowed
+    (narrow) and whole-table (open) sharded stage-1 paths."""
+    monkeypatch.setenv(
+        "SAGE_TPU_SHARD_WINDOWED", "1" if path == "windowed" else "0"
+    )
     import dataclasses
 
     import jax
@@ -198,6 +203,69 @@ def test_sharded_scorer_matches_single_device(db, shape):
     t_single = Scorer(db, params).score_table(spectra)
     mesh = make_mesh(*shape)
     t_mesh = ShardedScorer(db, mesh, params).score_table(spectra)
+    assert len(t_mesh) == len(t_single) > 0
+    for k in t_single.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_mesh.columns[k], t_single.columns[k], err_msg=f"column {k}"
+        )
+
+
+def test_stage2_budget_overflow_redo(db, monkeypatch):
+    """When a shard's live candidates exceed the stage-2 compaction
+    budget, full_step/windowed_step must grow the budget and redo — the
+    result stays bitwise correct (parallel/sharding.py _owner_stage2)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+
+    from sage_tpu.chem.mass import PROTON
+    from sage_tpu.ops.search import Scorer, SearchParams
+    from sage_tpu.parallel.sharding import ShardedScorer
+    from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum
+
+    rng = np.random.default_rng(5)
+    b, y = db.table.ladders()
+    targets = np.flatnonzero(db.table.lens >= 8)
+    spectra = []
+    for i in range(6):
+        p = int(rng.choice(targets))
+        n = int(db.table.lens[p]) - 1
+        frags = np.concatenate([b[p, :n], y[p, :n]])
+        masses = np.sort(frags.astype(np.float32))
+        intens = rng.uniform(1.0, 1e5, masses.shape[0]).astype(np.float32)
+        spectra.append(
+            ProcessedSpectrum(
+                level=2, id=f"scan={i}", file_id=0, scan_start_time=0.1 * i,
+                ion_injection_time=1.0,
+                precursors=[
+                    Precursor(mz=float(db.table.mono[p]) / 2 + PROTON, charge=2)
+                ],
+                masses=masses, intensities=intens,
+                mobilities=np.zeros(0, np.float32),
+                total_ion_current=np.float32(intens.sum()),
+            )
+        )
+    # wide Da tolerance -> many live candidates per row
+    params = SearchParams(
+        precursor_tol=Tolerance("da", -20.0, 20.0),
+        fragment_tol=Tolerance("ppm", -10.0, 10.0),
+        report_psms=3, min_matched_peaks=1,
+    )
+    t_single = Scorer(db, params).score_table(spectra)
+    mesh = make_mesh(2, 1)
+    sc = ShardedScorer(db, mesh, params)
+    # force a tiny initial budget so the first dispatch must overflow
+    monkeypatch.setattr(
+        type(sc.search), "_initial_bc", lambda self, R: 2
+    )
+    t_mesh = sc.score_table(spectra)
+    # the budget grew past the forced 32
+    bc = [v for k, v in sc.search._fn_cache.items()
+          if isinstance(k, tuple) and k[0] == "bc"]
+    assert bc and bc[0] > 2
     assert len(t_mesh) == len(t_single) > 0
     for k in t_single.columns:
         if k == "psm_id":
