@@ -50,12 +50,14 @@ import jax.numpy as jnp
 
 F32 = np.float32
 
-# window-chunking geometry for the wide-row gather: each tolerance window
-# is split into chunks of C_CHUNK entries; a chunk fetches RC whole
-# V-element table rows (one extra row covers the start's alignment slop)
-V_ROW = 8
-C_CHUNK = 128
-RC = C_CHUNK // V_ROW + 1
+# row-aligned gather geometry: each slot of the dense layout fetches one
+# whole V_ROW-element row of the fragment-pep table. TPU gathers are
+# descriptor-bound (~30 ns per descriptor regardless of size up to
+# hundreds of bytes), so fewer, wider rows win as long as the alignment
+# slack (<= 2 partial rows per window) stays small next to the window
+# length: measured on v5e at 2.6M peptides / -500+100 Da, V_ROW=64 cut
+# the gather phase ~3x over the round-1 8-wide chunk layout.
+V_ROW = 64
 
 
 def _quarter_octave(n: int) -> int:
@@ -67,60 +69,58 @@ def _quarter_octave(n: int) -> int:
     return octave * (-(-n * 4 // octave)) // 4
 
 
-def _entries_chunked(frag_pep8, starts, lens, Wc, Pk, Z):
-    """Chunked wide-row gather: [B, F2] sort keys (+ z tags) where each
-    window occupies whole RC*V-slot chunks. Best when windows are long
-    (the gather moves 8 contiguous entries per descriptor); at short mean
-    window lengths the chunk padding dominates — use _entries_flat."""
+def _entries_rows(frag_pep8, starts, lens, Wr, Pk, Z):
+    """Row-aligned wide-row gather: [B, F2] sort keys (+ z tags) where
+    window w (fragment range [s, e)) owns the whole V_ROW-aligned table
+    rows floor(s/V) .. ceil(e/V); each slot fetches ONE aligned row, so
+    the gather issues len/V + <=2 descriptors per window with no overlap
+    slop, and per-element masks trim the alignment slack. Best when
+    windows are long; at short mean window lengths the up-to-2-row
+    padding dominates — use _entries_flat."""
     B, Wn = starts.shape
     N8 = frag_pep8.shape[0]
     bidx = jnp.arange(B)[:, None]
-    # chunk descriptors: window w owns chunk slots [cumc0_w, cumc_w)
-    nc = (lens + (C_CHUNK - 1)) // C_CHUNK              # [B, Wn]
-    cumc = jnp.cumsum(nc, axis=1)
-    cumc0 = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), cumc[:, :-1]], axis=1
+    ends = starts + lens
+    r0 = starts // V_ROW
+    nr = jnp.where(
+        lens > 0, (ends + (V_ROW - 1)) // V_ROW - r0, 0
+    )  # rows/window
+    cumr = jnp.cumsum(nr, axis=1)
+    cumr0 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), cumr[:, :-1]], axis=1
     )
-    tc = cumc[:, -1]                                    # chunks/spectrum
-    # owning-window index per chunk slot: every window marks its first
+    tr = cumr[:, -1]                                    # rows/spectrum
+    # owning-window index per row slot: every window marks its first
     # slot, cumsum - 1 = index of the last window starting at or before
     # the slot (empty windows share the next window's start and are never
     # the last mark of an occupied slot). Trailing empty windows mark
-    # column Wc, which is dropped.
-    marks = jnp.zeros((B, Wc + 1), jnp.int32)
-    marks = marks.at[bidx, jnp.minimum(cumc0, Wc)].add(
+    # column Wr, which is dropped.
+    marks = jnp.zeros((B, Wr + 1), jnp.int32)
+    marks = marks.at[bidx, jnp.minimum(cumr0, Wr)].add(
         jnp.ones((B, Wn), jnp.int32)
     )
-    w_of = jnp.cumsum(marks[:, :Wc], axis=1) - 1        # [B, Wc]
+    w_of = jnp.cumsum(marks[:, :Wr], axis=1) - 1        # [B, Wr]
     w_of = jnp.clip(w_of, 0, Wn - 1)
-    slot = jnp.arange(Wc, dtype=jnp.int32)[None, :]
-    win_start = starts[bidx, w_of]
-    win_len = lens[bidx, w_of]
-    cidx = slot - cumc0[bidx, w_of]                     # chunk # in window
-    chunk_start = win_start + cidx * C_CHUNK
-    chunk_len = jnp.clip(win_len - cidx * C_CHUNK, 0, C_CHUNK)
-    chunk_ok = (slot < tc[:, None]) & (chunk_len > 0)
-    chunk_start = jnp.clip(chunk_start, 0, N8 * V_ROW - 1)
-    # the hot gather: RC whole V-element rows per chunk
-    row0 = chunk_start // V_ROW
-    a = chunk_start - row0 * V_ROW                      # alignment slop
-    rowidx = row0[..., None] + jnp.arange(RC, dtype=jnp.int32)[None, None, :]
-    rowidx = jnp.minimum(rowidx, N8 - 1)
-    g = frag_pep8[rowidx].reshape(B, Wc, RC * V_ROW)    # [B, Wc, 136]
-    pos = jnp.arange(RC * V_ROW, dtype=jnp.int32)[None, None, :]
-    evalid = (
-        chunk_ok[..., None]
-        & (pos >= a[..., None])
-        & (pos < (a + chunk_len)[..., None])
-        & (g >= 0)
+    slot = jnp.arange(Wr, dtype=jnp.int32)[None, :]
+    ridx = slot - cumr0[bidx, w_of]                     # row # in window
+    row = r0[bidx, w_of] + ridx
+    row_ok = slot < tr[:, None]
+    row = jnp.clip(row, 0, N8 - 1)
+    g = frag_pep8[row]                                  # [B, Wr, V]
+    gpos = (
+        row[..., None] * V_ROW
+        + jnp.arange(V_ROW, dtype=jnp.int32)[None, None, :]
     )
-    F2 = Wc * RC * V_ROW
+    ws = starts[bidx, w_of][..., None]
+    we = ends[bidx, w_of][..., None]
+    evalid = row_ok[..., None] & (gpos >= ws) & (gpos < we) & (g >= 0)
+    F2 = Wr * V_ROW
     neg = jnp.where(evalid, -g, np.int32(2**30)).reshape(B, F2)
     if Z == 1:
         return neg, None
     # fragment-charge tag of each entry's window (z-major: w = (z-1)*Pk+pk)
     z_of = jnp.broadcast_to(
-        (w_of // Pk + 1)[..., None], (B, Wc, RC * V_ROW)
+        (w_of // Pk + 1)[..., None], (B, Wr, V_ROW)
     ).reshape(B, F2)
     return neg, z_of
 
@@ -182,7 +182,7 @@ def _device_open_count(
 ):
     B = starts.shape[0]
     if chunked:
-        neg, z_of = _entries_chunked(frag_pep8, starts, lens, Wc, Pk, Z)
+        neg, z_of = _entries_rows(frag_pep8, starts, lens, Wc, Pk, Z)
     else:
         neg, z_of = _entries_flat(frag_pep8, starts, lens, F, Pk, Z)
     # ---- sort per spectrum by peptide DESCENDING; padding/slop sorts to
@@ -247,39 +247,146 @@ class OpenSearcher:
     index. Constructed per Scorer; stateless between batches apart from
     the device-resident peptide-id array."""
 
-    def __init__(self, db, frag_tol, Z: int, K: int = 50):
+    def _auto_bands(self, db, precursor_tol) -> int:
+        """Band count for the (band, m/z)-sorted layout. The fragment
+        array is re-sorted by (peptide-mass band, m/z) so a precursor
+        window — a contiguous peptide-index range — covers only
+        ~frac*NB + 2 bands, and the gather/sort/count phases touch ~frac
+        of the entries a single m/z-sorted array would (a -500/+100 Da
+        window on a tryptic human proteome spans ~13% of peptides -> ~4x
+        less work at NB=32). Counting masks by exact [i0, i1) per row
+        either way, so banding never changes results.
+
+        The cost is that each (peak, band) window is ~bands_covered x
+        shorter, and short windows pay per-window slack (gather row
+        alignment, marks bookkeeping, the host range searches) — at
+        ~20M fragments banding measurably LOSES to one flat array. Pick
+        the largest pow2 NB that keeps the expected banded window length
+        >= 128 entries; 1 means unbanded."""
+        mono = db.table.mono
+        span = float(mono[-1] - mono[0]) if len(db) > 1 else 1.0
+        if precursor_tol is not None and span > 0:
+            mid = float(mono[len(db) // 2])
+            lo, hi = precursor_tol.bounds(np.float32(mid))
+            frac = min(max((float(hi) - float(lo)) / span, 0.01), 1.0)
+        else:
+            frac = 1.0
+        t = self.frag_tol
+        if t.kind == "ppm":
+            wfrac = (float(t.hi) - float(t.lo)) * 1e-6
+        else:  # Da/pct: assume ~1000 m/z typical fragment
+            lo, hi = t.bounds(np.float32(1000.0))
+            wfrac = (float(hi) - float(lo)) / 1000.0 * 1e-3
+        est_len = db.num_fragments * wfrac
+        # measured optima on v5e (-500/+100 Da, 10 ppm): 19M frags -> 4
+        # bands, 57M -> 16; both sit near banded window length ~150-280,
+        # i.e. NB ~= est_len / 128 rounded up to a power of two
+        target = max(est_len / 128.0, 1.0)
+        nb = 1
+        while nb < 64 and nb < target:
+            nb *= 2
+        # banding only pays when it actually skips entries: at
+        # frac + 2/NB near 1 the per-window slack outweighs the skip
+        if frac + 2.0 / nb >= 0.7:
+            nb = 1
+        return nb
+
+    def __init__(self, db, frag_tol, Z: int, K: int = 50,
+                 precursor_tol=None):
         assert db.fragment_mz_flat is not None
-        self.frag_mz = db.fragment_mz_flat
-        n = db.fragment_pep_flat.shape[0]
-        n_pad = max(((n + 127) // 128) * 128, RC * V_ROW)
-        pep_pad = np.full(n_pad, -1, np.int32)
-        pep_pad[:n] = db.fragment_pep_flat.astype(np.int32)
-        # [N/8, 8] view for the wide-row gather (rows are contiguous)
-        self.frag_pep8_dev = jnp.asarray(pep_pad.reshape(-1, V_ROW))
         self.frag_tol = frag_tol
+        n = db.fragment_pep_flat.shape[0]
+        n_pep = len(db)
+        env = os.environ.get("SAGE_TPU_OPEN_BANDS")
+        nb = int(env) if env else self._auto_bands(db, precursor_tol)
+        nb = max(min(nb, max(n_pep, 1)), 1)
+        self.n_bands = nb
+        self.band_w = max(-(-n_pep // nb), 1)
+        pep_flat = db.fragment_pep_flat.astype(np.int32)
+        if nb > 1:
+            band = pep_flat // np.int32(self.band_w)
+            # stable sort by band keeps the m/z order within each band
+            order = np.argsort(band, kind="stable")
+            self.frag_mz = db.fragment_mz_flat[order]
+            pep_b = pep_flat[order]
+            counts = np.bincount(band, minlength=nb)
+            self.band_off = np.concatenate(
+                [[0], np.cumsum(counts)]
+            ).astype(np.int64)
+        else:
+            self.frag_mz = db.fragment_mz_flat
+            pep_b = pep_flat
+            self.band_off = np.array([0, n], np.int64)
+        n_pad = max(((n + V_ROW - 1) // V_ROW) * V_ROW, 2 * V_ROW)
+        pep_pad = np.full(n_pad, -1, np.int32)
+        pep_pad[:n] = pep_b
+        # [N/V, V] view for the aligned wide-row gather
+        self.frag_pep8_dev = jnp.asarray(pep_pad.reshape(-1, V_ROW))
         self.Z = Z
         self.K = K
 
-    def ranges(self, masses: np.ndarray, Zb: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Host: [B, Zb*Pk] range starts/lengths for every (z, peak)
-        window over the sorted fragment m/z array. +inf-padded peaks give
-        NaN/inf bounds -> empty ranges."""
+    def ranges(
+        self, masses: np.ndarray, Zb: int,
+        u0: np.ndarray = None, u1: np.ndarray = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host: [B, Zb*Pk*NBcov] range starts/lengths for every
+        (z, peak, covered-band) window over the band-segmented sorted
+        fragment m/z array. ``u0``/``u1`` are each spectrum's union
+        [u0, u1) of precursor peptide-index windows (None = whole table);
+        only bands intersecting it are searched/emitted. +inf-padded
+        peaks give NaN/inf bounds -> empty ranges."""
         B, Pk = masses.shape
-        starts = np.zeros((B, Zb * Pk), np.int32)
-        lens = np.zeros((B, Zb * Pk), np.int32)
+        nb = self.n_bands
+        if u0 is None or nb == 1:
+            b0 = np.zeros(B, np.int64)
+            b1 = np.full(B, nb - 1, np.int64)
+        else:
+            b0 = np.clip(u0 // self.band_w, 0, nb - 1).astype(np.int64)
+            b1 = np.clip(
+                np.maximum(u1 - 1, 0) // self.band_w, 0, nb - 1
+            ).astype(np.int64)
+            b1 = np.maximum(b1, b0)
+        nbcov = int((b1 - b0 + 1).max()) if B else 1
+        starts = np.zeros((B, Zb * Pk * nbcov), np.int32)
+        lens = np.zeros((B, Zb * Pk * nbcov), np.int32)
+        off = self.band_off
         for zi in range(Zb):
             q = (masses * F32(zi + 1)).astype(np.float32)
             with np.errstate(invalid="ignore"):
                 # +inf padding peaks produce inf*ppm = NaN bounds; they
                 # are zeroed below
                 lo, hi = self.frag_tol.bounds(q)
-                s = np.searchsorted(self.frag_mz, lo, side="left")
-                e = np.searchsorted(self.frag_mz, hi, side="right")
             bad = ~np.isfinite(lo) | ~np.isfinite(hi)
-            s[bad] = 0
-            e[bad] = 0
-            starts[:, zi * Pk : (zi + 1) * Pk] = s
-            lens[:, zi * Pk : (zi + 1) * Pk] = np.maximum(e - s, 0)
+            for b in range(nb):
+                sel = np.flatnonzero((b0 <= b) & (b <= b1))
+                if sel.size == 0:
+                    continue
+                seg = self.frag_mz[off[b] : off[b + 1]]
+                if seg.size == 0:
+                    continue
+                # only windows overlapping the band's m/z span need a
+                # binary search (a fragment is lighter than its peptide,
+                # so low-mass bands are empty for high-m/z peaks — most
+                # (peak, band) windows die on this compare)
+                glo = lo[sel]
+                ghi = hi[sel]
+                hit = (
+                    ~bad[sel] & (ghi >= seg[0]) & (glo <= seg[-1])
+                )  # [|sel|, Pk]
+                s = np.zeros(glo.shape, np.int64)
+                e = np.zeros(glo.shape, np.int64)
+                if hit.any():
+                    s[hit] = np.searchsorted(seg, glo[hit], side="left")
+                    e[hit] = np.searchsorted(seg, ghi[hit], side="right")
+                    s[hit] += off[b]
+                    e[hit] += off[b]
+                # window column: z-major, then band slot, then peak
+                j = (b - b0[sel]).astype(np.int64)
+                col = (zi * nbcov + j[:, None]) * Pk + np.arange(Pk)
+                starts[sel[:, None], col] = s.astype(np.int32)
+                lens[sel[:, None], col] = np.maximum(e - s, 0).astype(
+                    np.int32
+                )
         return starts, lens
 
     # device-memory budget for the [B, F] entry matrices; batches whose
@@ -297,69 +404,98 @@ class OpenSearcher:
         the element budget (ranges are computed once and sliced through
         the recursion)."""
         B = masses.shape[0]
-        starts, lens = self.ranges(masses, Zb) if _ranges is None else _ranges
-        # entry layout: chunked wide-row gather when windows are long
-        # (>= 16 entries on average the chunk padding is cheaper than
+        if _ranges is None:
+            # per-spectrum union of precursor windows -> covered bands
+            u0 = np.full(B, np.iinfo(np.int64).max, np.int64)
+            u1 = np.zeros(B, np.int64)
+            live = rows["i1"] > rows["i0"]
+            if live.any():
+                np.minimum.at(u0, rows["si"][live], rows["i0"][live])
+                np.maximum.at(u1, rows["si"][live], rows["i1"][live])
+            u0 = np.where(u1 > 0, u0, 0)
+            starts, lens = self.ranges(masses, Zb, u0, u1)
+        else:
+            starts, lens = _ranges
+        # effective per-z window count (Pk * covered-band slots) for the
+        # charge tags inside the device program
+        Pk_eff = starts.shape[1] // max(Zb, 1)
+        # entry layout: aligned wide-row gather when windows are long
+        # (the per-window <=2-row alignment padding is cheaper than
         # per-element gather descriptors), ragged flat gather otherwise
         n_win = max(int((lens > 0).sum()), 1)
         env_ch = os.environ.get("SAGE_TPU_OPEN_CHUNKED")
         if env_ch is not None:
             chunked = env_ch != "0"
         else:
-            chunked = float(lens.sum()) / n_win >= 16.0
-        tc = ((lens + (C_CHUNK - 1)) // C_CHUNK).sum(axis=1)  # chunks/spec
+            chunked = float(lens.sum()) / n_win >= 48.0
+        ends = starts + lens
+        tc = np.where(
+            lens > 0, (ends + (V_ROW - 1)) // V_ROW - starts // V_ROW, 0
+        ).sum(axis=1)  # gather rows per spectrum
+        totals = lens.sum(axis=1)
         if B > 1:
-            if chunked:
-                F_est = int(tc.max()) * RC * V_ROW + 1
-            else:
-                F_est = int(lens.sum(axis=1).max()) + 1
+            size = tc * V_ROW if chunked else totals
+            F_est = int(size.max()) + 1
+            split = None
             if B * F_est > self.MAX_ELEMENTS:
-                # halve the spectrum batch; rows partition cleanly because
-                # they reference spectra by index (spectrum-major order)
-                mid = B // 2
+                # memory split: halve the spectrum batch
+                split = np.arange(B) < B // 2
+            elif B >= 128:
+                # size-class split: the sort axis pads every spectrum to
+                # the densest one; when the p75 class is a factor under
+                # the max class, dispatching the light spectra at their
+                # own (quarter-octave) width saves ~25-50% of sort+count
+                # work for one extra dispatch
+                p75 = _quarter_octave(
+                    max(int(np.percentile(size, 75)), 1)
+                )
+                if _quarter_octave(F_est) > 2 * p75:
+                    split = size <= p75
+            if split is not None and 0 < split.sum() < B:
                 si = rows["si"]
-                left = si < mid
                 n_rows = si.size
                 maxz_rows = maxz[:n_rows]
                 out = np.zeros((R, 2 * self.K + 2), np.int32)
-                off = 0
-                for sel, m_lo, m_hi, si_off in (
-                    (left, 0, mid, 0),
-                    (~left, mid, B, mid),
-                ):
+                # spectrum index remap per side (order-preserving)
+                for sel in (split, ~split):
+                    spec_ids = np.flatnonzero(sel)
+                    remap = np.full(B, -1, np.int64)
+                    remap[spec_ids] = np.arange(spec_ids.size)
+                    rsel = sel[si]
                     sub_rows = {
-                        k: (v[sel] - (si_off if k == "si" else 0))
+                        k: (
+                            remap[v[rsel]].astype(v.dtype)
+                            if k == "si" else v[rsel]
+                        )
                         for k, v in rows.items()
                     }
-                    n_sub = int(sel.sum())
+                    n_sub = int(rsel.sum())
                     # pow2 padding: exact 8-multiples would compile a new
                     # executable per distinct sub-batch row count
                     R_sub = 8
                     while R_sub < n_sub:
                         R_sub *= 2
                     mz_sub = np.full(R_sub, 2, np.int32)
-                    mz_sub[:n_sub] = maxz_rows[sel]
+                    mz_sub[:n_sub] = maxz_rows[rsel]
                     sub = np.asarray(
                         jax.device_get(
                             self.preliminary_packed(
-                                masses[m_lo:m_hi], sub_rows, mz_sub,
+                                masses[spec_ids], sub_rows, mz_sub,
                                 R_sub, Zb,
                                 _ranges=(
-                                    starts[m_lo:m_hi], lens[m_lo:m_hi]
+                                    starts[spec_ids], lens[spec_ids]
                                 ),
                             )
                         )
                     )
-                    out[off : off + n_sub] = sub[:n_sub]
-                    off += n_sub
+                    out[np.flatnonzero(rsel)] = sub[:n_sub]
                 return out
-        totals = lens.reshape(masses.shape[0], -1).sum(axis=1)
-        # Wc chunk slots cover the densest spectrum; quarter-octave
+        # Wr row slots cover the densest spectrum; quarter-octave
         # padding (like F below) bounds recompiles while keeping the
-        # sort axis (proportional to Wc) within 12% of minimal
+        # sort axis (proportional to Wr) within 12% of minimal
         Wc = _quarter_octave(max(int(tc.max()), 8)) if chunked else 8
         # F strictly greater than any spectrum's true entry count (the
-        # chunked sort axis Wc*RC*V is cut down to F before counting;
+        # row-layout sort axis Wr*V is cut down to F before counting;
         # the flat layout uses F as the entry axis directly); at least K
         # so the per-row top_k never exceeds the axis. Quarter-octave
         # padding: F is a static shape, and exact padding would compile a
@@ -368,7 +504,7 @@ class OpenSearcher:
         F = _quarter_octave(int(max(totals.max(), 1)) + 1)
         F = ((max(F, self.K, 128) + 127) // 128) * 128
         if chunked:
-            F = min(F, Wc * RC * V_ROW)
+            F = min(F, Wc * V_ROW)
         n_rows = rows["si"].size
         row_spec = np.zeros(R, np.int32)
         row_i0 = np.zeros(R, np.int32)
@@ -384,7 +520,7 @@ class OpenSearcher:
             jnp.asarray(row_i0),
             jnp.asarray(row_i1),
             jnp.asarray(maxz),
-            F=F, Wc=Wc, Pk=masses.shape[1], Z=Zb, K=self.K, R=R,
+            F=F, Wc=Wc, Pk=Pk_eff, Z=Zb, K=self.K, R=R,
             chunked=chunked,
         )
         out.copy_to_host_async()

@@ -730,7 +730,8 @@ class Scorer:
             from .open_search import OpenSearcher
 
             self._open = OpenSearcher(
-                self.db, self.params.fragment_tol, self.Z, K=self.K
+                self.db, self.params.fragment_tol, self.Z, K=self.K,
+                precursor_tol=self.params.precursor_tol,
             )
         return self._open
 
