@@ -793,57 +793,29 @@ class Scorer:
             # Pallas stage-1 wins at narrow windows (one fused program,
             # VMEM-resident) but its per-candidate loop loses to XLA's
             # fully-vectorized compare at wide windows (measured ~0.6x at
-            # W=256 on v5e) — so it engages by default only for W <= K.
-            # SAGE_TPU_PALLAS_WIDE=1 opts wide windows in (the kernel
-            # composes with an XLA top-K), subject to the 8 MiB VMEM cap
-            # on its double-buffered [2, G=8, W, SLp] window scratch.
-            import os
-
+            # W=256 on v5e) — so it engages only for W <= K, subject to
+            # the 8 MiB VMEM cap on its double-buffered [2, G=8, W, SLp]
+            # window scratch.
             SLp = self.tables.SLp
-            fits = SLp > 0 and 2 * 8 * W * SLp * 4 <= (8 << 20)
-            if W > self.K:
-                fits = fits and os.environ.get("SAGE_TPU_PALLAS_WIDE") == "1"
+            fits = (
+                W <= self.K
+                and SLp > 0
+                and 2 * 8 * W * SLp * 4 <= (8 << 20)
+            )
             if self._use_pallas(fits):
                 self._stage1_cache[key] = self._build_stage1_pallas(W, Pk, R, Z)
             else:
                 self._stage1_cache[key] = self._build_stage1(W, Pk, R, Z)
         return self._stage1_cache[key]
 
-    def _build_stage2_pallas(self, Pk: int, N: int, Z: int):
-        from .pallas_stage2 import stage2_pallas
-
-        tables = self.tables
-        tol = self.params.fragment_tol
-        tol_s = (tol.kind, float(tol.lo), float(tol.hi))
-        lad2d_full = tables.lad2d_full
-        is_nterm = tuple(bool(_SERIES_NTERM[k]) for k in self.series)
-
-        def run(peaks_dev, ints):
-            return stage2_pallas(
-                lad2d_full, peaks_dev, ints[0], ints[1], ints[2],
-                L=tables.L, SLp=tables.SLp, Pk=Pk, Z=Z, S=self.n_series,
-                is_nterm=is_nterm, tol=tol_s, N=N,
-            )
-
-        return run
-
     def _stage2_compact(self, Pk, N, Z):
+        # A stage-2 Pallas kernel existed through round 2 but never beat
+        # the fused XLA program on the real chip (thin per-item ops
+        # dominate; measured ~0.85x at 889k peptides) — removed rather
+        # than kept as a dead opt-in.
         key = ("c", Pk, N, Z)
         if key not in self._stage2_cache:
-            import os
-
-            # The stage-2 Pallas kernel is bit-identical but currently no
-            # faster than the fused XLA program (thin per-item ops dominate)
-            # — opt-in until it wins.
-            ok = (
-                self.tables.lad2d_full is not None
-                and N % 32 == 0
-                and os.environ.get("SAGE_TPU_PALLAS_STAGE2") == "1"
-            )
-            if self._use_pallas(ok):
-                self._stage2_cache[key] = self._build_stage2_pallas(Pk, N, Z)
-            else:
-                self._stage2_cache[key] = self._build_stage2_compact(Pk, N, Z)
+            self._stage2_cache[key] = self._build_stage2_compact(Pk, N, Z)
         return self._stage2_cache[key]
 
     # ------------------------------------------------------------------
