@@ -304,7 +304,8 @@ int main(int argc, char **argv) {
         free(prelim);
 
         /* full rescore of top-K (scoring.rs:478-595, 675-767) */
-        double best_scores[64];
+        double *best_scores = malloc(
+            (size_t)(report_psms > 0 ? report_psms : 1) * sizeof(double));
         size_t n_best = 0; /* bounded min-select of report_psms scores */
         Score best;
         memset(&best, 0, sizeof(best));
@@ -377,7 +378,7 @@ int main(int argc, char **argv) {
                 continue;
             if (sc.hyperscore > best.hyperscore) best = sc;
             /* keep top report_psms hyperscores (build_features sort) */
-            if (n_best < (size_t)report_psms && n_best < 64) {
+            if (n_best < (size_t)report_psms) {
                 best_scores[n_best++] = sc.hyperscore;
             } else {
                 size_t mi = 0;
@@ -388,6 +389,7 @@ int main(int argc, char **argv) {
             }
         }
         free(top);
+        free(best_scores);
         total_psms += (int64_t)n_best;
         if (verbose && rep == 0) {
             if (n_best)

@@ -8,19 +8,20 @@ reference's bucketed index walk for that regime
 (/root/reference/crates/sage/src/database.rs:480-536 +
 scoring.rs:335-382):
 
-1. HOST: for every (peak, fragment-charge) the tolerance window is a
-   contiguous range of the flat m/z-sorted fragment index — two
-   vectorized searchsorted calls (the f32 window bounds use the exact
-   reference op order, so the range covers exactly the in-tolerance
-   fragments).
-2. DEVICE: each range is split into fixed-size chunks (C=128 entries) and
-   the chunks' peptide ids are fetched with a WIDE-ROW gather — the
-   table is viewed as [N/8, 8] and whole 8-element rows are gathered, so
-   each gather descriptor moves 8 contiguous entries instead of 1
-   (TPU gathers are descriptor-bound: measured 6x faster than the
-   per-element gather for the same bytes). Alignment slop and chunk
-   padding are masked to an out-of-band key and the per-spectrum sort
-   (peptide DESCENDING) compacts them to the tail, after which the axis
+1. HOST: the flat fragment index is segmented into peptide-mass BANDS
+   (sorted by (band, m/z)); for every (peak, fragment-charge, covered
+   band) the tolerance window is a contiguous range of that band's
+   m/z-sorted segment — vectorized searchsorted calls (the f32 window
+   bounds use the exact reference op order, so the ranges cover exactly
+   the in-tolerance fragments). Only bands intersecting the spectrum's
+   precursor-window union are searched or gathered (~4x less device
+   work for -500/+100 Da on a proteome; see OpenSearcher._auto_bands).
+2. DEVICE: each range's peptide ids are fetched with an ALIGNED
+   WIDE-ROW gather — the table is viewed as [N/V, V] (V=64) and each
+   slot fetches one whole aligned row, so a window costs len/V + <=2
+   gather descriptors (TPU gathers are descriptor-bound). Alignment
+   slack is masked to an out-of-band key and the per-spectrum sort
+   (peptide DESCENDING) compacts it to the tail, after which the axis
    is sliced back down to the true max entry count. Run-length counting
    + top_k over run-end counts then yields the per-row top-K
    (count, peptide) with exactly the PreScore tie rule (count desc,
@@ -130,7 +131,7 @@ def _entries_flat(frag_pep8, starts, lens, F, Pk, Z):
     slot padding (entry j of spectrum b reads frag index
     src[b, j] = starts[b, w] + (j - cum[b, w-1]) for its window w).
     Best when windows are short; the per-element gather is descriptor-
-    bound at long windows — use _entries_chunked there."""
+    bound at long windows — use _entries_rows there."""
     B = starts.shape[0]
     frag_pep = frag_pep8.reshape(-1)
     cum = jnp.cumsum(lens, axis=1)                      # [B, W]
@@ -274,9 +275,9 @@ class OpenSearcher:
         t = self.frag_tol
         if t.kind == "ppm":
             wfrac = (float(t.hi) - float(t.lo)) * 1e-6
-        else:  # Da/pct: assume ~1000 m/z typical fragment
+        else:  # Da/pct: window width as a fraction of a ~1000 m/z range
             lo, hi = t.bounds(np.float32(1000.0))
-            wfrac = (float(hi) - float(lo)) / 1000.0 * 1e-3
+            wfrac = (float(hi) - float(lo)) / 1000.0
         est_len = db.num_fragments * wfrac
         # measured optima on v5e (-500/+100 Da, 10 ppm): 19M frags -> 4
         # bands, 57M -> 16; both sit near banded window length ~150-280,

@@ -206,19 +206,20 @@ class ShardedSearch:
             check_vma=False,
         )
 
+        # The sharded tables are passed as jit ARGUMENTS (never traced as
+        # closure constants — constvar capture materializes them via
+        # ._value at lowering time, which blocks behind the device queue;
+        # see ops/search.py _build_stage1's identical rule).
+        jitted = jax.jit(fn)
+
         def run(peaks, prec_lo, prec_hi, maxz):
-            return fn(
-                peaks,
-                prec_lo,
-                prec_hi,
-                maxz,
-                self.tables.resmass,
-                self.tables.nterm,
-                self.tables.mono,
-                self.tables.lens,
+            t = self.tables
+            return jitted(
+                peaks, prec_lo, prec_hi, maxz,
+                t.resmass, t.nterm, t.mono, t.lens,
             )
 
-        return jax.jit(run)
+        return run
 
     def __call__(self, peaks, prec_lo, prec_hi, maxz):
         """peaks f32 [R, Pk] (+inf padded); prec_lo/prec_hi f32 [R] precursor
@@ -327,14 +328,17 @@ class ShardedSearch:
             check_vma=False,
         )
 
+        # tables as jit arguments, not closure constants (see _build)
+        jitted = jax.jit(fn)
+
         def run(peaks, intens, prec_lo, prec_hi, maxz):
-            return fn(
+            t = self.tables
+            return jitted(
                 peaks, intens, prec_lo, prec_hi, maxz,
-                self.tables.resmass, self.tables.nterm,
-                self.tables.mono, self.tables.lens,
+                t.resmass, t.nterm, t.mono, t.lens,
             )
 
-        return jax.jit(run)
+        return run
 
     def _owner_stage2(
         self, gvals, gpep, peaks, intens, maxz, base,
@@ -519,14 +523,17 @@ class ShardedSearch:
             check_vma=False,
         )
 
+        # tables as jit arguments, not closure constants (see _build)
+        jitted = jax.jit(fn)
+
         def run(peaks, intens, i0, i1, maxz):
-            return fn(
+            t = self.tables
+            return jitted(
                 peaks, intens, i0, i1, maxz,
-                self.tables.resmass, self.tables.nterm,
-                self.tables.mono, self.tables.lens,
+                t.resmass, t.nterm, t.mono, t.lens,
             )
 
-        return jax.jit(run)
+        return run
 
     def windowed_step(self, peaks, intens, i0, i1, maxz, W: int):
         """Windowed sharded search step (narrow regime): query windows
@@ -536,7 +543,7 @@ class ShardedSearch:
         R, Pk = peaks.shape
         n_data = self.mesh.shape["data"]
         cap = (R // n_data) * self.K
-        key = ("bc", R, Pk)
+        key = ("bc_win", R, Pk)
         Bc = self._fn_cache.get(key, self._initial_bc(R))
         while True:
             fkey = ("win", R, Pk, W, Bc)
@@ -568,7 +575,10 @@ class ShardedSearch:
         R, Pk = peaks.shape
         n_data = self.mesh.shape["data"]
         cap = (R // n_data) * self.K
-        key = ("bc", R, Pk)
+        # budget learned per regime: the whole-table scan's live-candidate
+        # profile is far heavier than the windowed path's, so sharing one
+        # learned Bc would force overflow redos and oversized compiles
+        key = ("bc_full", R, Pk)
         Bc = self._fn_cache.get(key, self._initial_bc(R))
         while True:
             fkey = ("full", R, Pk, Bc)

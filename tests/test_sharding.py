@@ -264,7 +264,7 @@ def test_stage2_budget_overflow_redo(db, monkeypatch):
     t_mesh = sc.score_table(spectra)
     # the budget grew past the forced 32
     bc = [v for k, v in sc.search._fn_cache.items()
-          if isinstance(k, tuple) and k[0] == "bc"]
+          if isinstance(k, tuple) and k[0] in ("bc_win", "bc_full")]
     assert bc and bc[0] > 2
     assert len(t_mesh) == len(t_single) > 0
     for k in t_single.columns:
