@@ -150,3 +150,54 @@ def test_open_search_subbatch_split(db, monkeypatch):
         np.testing.assert_array_equal(
             t_split.columns[k], t_whole.columns[k], err_msg=f"column {k}"
         )
+
+
+def test_open_search_banding_invariant(db, monkeypatch):
+    """The band-segmented index layout (sorted by (peptide-mass band,
+    m/z)) must be result-invariant for any band count: counting masks by
+    the exact per-row candidate range either way."""
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        min_isotope_err=-1, max_isotope_err=1,
+    )
+    spectra = _spectra(db, 16, seed=33)
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    tables = {}
+    for nb in ("1", "4", "16"):
+        monkeypatch.setenv("SAGE_TPU_OPEN_BANDS", nb)
+        tables[nb] = Scorer(db, sp).score_table(spectra)
+    ref = tables["1"]
+    assert len(ref) > 0
+    for nb in ("4", "16"):
+        assert len(tables[nb]) == len(ref)
+        for k in ref.columns:
+            if k == "psm_id":
+                continue
+            np.testing.assert_array_equal(
+                tables[nb].columns[k], ref.columns[k],
+                err_msg=f"bands={nb} column {k}",
+            )
+
+
+def test_auto_bands_policy(db):
+    """_auto_bands scales with expected window length for both ppm and
+    Da fragment tolerances (the Da branch regressed once: a spurious
+    1e-3 made banding silently inert for Da windows)."""
+    from sage_tpu.ops.open_search import OpenSearcher
+
+    prec = Tolerance("da", -500.0, 100.0)
+    o_ppm = OpenSearcher(db, Tolerance("ppm", -10.0, 10.0), Z=1)
+    # a +-0.01 Da window at ~1000 m/z is ~ +-10 ppm: the Da estimate
+    # must land within ~2x of the ppm one, not 1000x under
+    w_ppm = o_ppm._auto_bands(db, prec)
+    o_da = OpenSearcher(db, Tolerance("da", -0.01, 0.01), Z=1)
+    w_da = o_da._auto_bands(db, prec)
+    assert w_da >= w_ppm / 2
+    # a big synthetic fragment count drives the band count up
+    class FakeDb:
+        table = db.table
+        num_fragments = 60_000_000
+        def __len__(self):
+            return len(db)
+    assert OpenSearcher._auto_bands(o_ppm, FakeDb(), prec) >= 8
