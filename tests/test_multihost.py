@@ -111,3 +111,79 @@ def test_two_process_e2e_matches_single(tmp_path):
     assert len(single_tsv.splitlines()) == 4
     # only process 0 wrote outputs (no duplicate/partial files)
     assert sorted(os.listdir(dist_dir)) == sorted(os.listdir(single_dir))
+
+
+def test_two_process_lfq_matches_single(tmp_path):
+    """LFQ across 2 hosts: the two LC runs land on DIFFERENT hosts, so
+    quantifying both requires the cross-host MS1-spectra + feature
+    gather before the global LFQ stage. lfq.tsv and results.sage.tsv
+    must equal the single-process run byte-for-byte."""
+    import numpy as np
+
+    from sage_tpu.chem.fasta import Fasta
+    from sage_tpu.index.builder import DatabaseParams
+    from test_pipeline import _write_lc_run
+
+    AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    rng = np.random.default_rng(17)
+    lines = []
+    for i in range(80):
+        seq = AA[rng.integers(0, len(AA), size=240)].tobytes().decode()
+        lines.append(f">sp|LFQ{i:03d}|LFQ{i}_SYN synthetic\n{seq}")
+    fasta_path = tmp_path / "lfq.fasta"
+    fasta_path.write_text("\n".join(lines))
+    params = DatabaseParams()
+    db = params.build(Fasta.parse("\n".join(lines), params.decoy_tag, True))
+    targets = np.flatnonzero(~db.table.decoy & (db.table.lens >= 10))[:150]
+    elute_rt = rng.uniform(3.0, 21.0, len(targets))
+    _write_lc_run(tmp_path / "a.mzML", db, targets, elute_rt, rng)
+    _write_lc_run(
+        tmp_path / "b.mzML", db, targets, elute_rt, rng,
+        rt_shift=0.9, scale=2.0,
+    )
+    cfg = {
+        "database": {"fasta": str(fasta_path)},
+        "precursor_tol": {"ppm": [-20, 20]},
+        "fragment_tol": {"ppm": [-10, 10]},
+        "deisotope": False,
+        "quant": {"lfq": True},
+        "mzml_paths": [str(tmp_path / "a.mzML"), str(tmp_path / "b.mzML")],
+    }
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    single_dir = str(tmp_path / "single")
+    os.makedirs(single_dir)
+    r = subprocess.run(
+        [sys.executable, WORKER, cfg_path, single_dir],
+        env=_worker_env({}), capture_output=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    dist_dir = str(tmp_path / "dist")
+    os.makedirs(dist_dir)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, cfg_path, dist_dir],
+            env=_worker_env({
+                "SAGE_TPU_COORDINATOR": f"127.0.0.1:{port}",
+                "SAGE_TPU_NUM_PROCS": "2",
+                "SAGE_TPU_PROC_ID": str(i),
+            }),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    for name in ("results.sage.tsv", "lfq.tsv"):
+        a = open(os.path.join(single_dir, name), "rb").read()
+        b = open(os.path.join(dist_dir, name), "rb").read()
+        assert a == b, f"{name} differs between 1-process and 2-process"
+    # the LFQ table actually quantified rows from both hosts' files
+    lines = open(os.path.join(dist_dir, "lfq.tsv")).read().splitlines()
+    assert len(lines) >= 10
