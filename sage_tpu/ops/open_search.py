@@ -441,7 +441,7 @@ class OpenSearcher:
             if B * F_est > self.MAX_ELEMENTS:
                 # memory split: halve the spectrum batch
                 split = np.arange(B) < B // 2
-            elif B >= 128:
+            elif B >= 128 and os.environ.get("SAGE_TPU_OPEN_SPLIT") != "0":
                 # size-class split: the sort axis pads every spectrum to
                 # the densest one; when the p75 class is a factor under
                 # the max class, dispatching the light spectra at their
