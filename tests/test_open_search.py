@@ -201,3 +201,36 @@ def test_auto_bands_policy(db):
         def __len__(self):
             return len(db)
     assert OpenSearcher._auto_bands(o_ppm, FakeDb(), prec) >= 8
+
+
+def test_open_charge_sweep_matches_candidate_major(db, monkeypatch):
+    """Unannotated precursors expand into a charge sweep (min..max), so
+    the peak-major path runs with Zb > 1 fragment-charge planes and the
+    z-tag machinery engages; results must equal the candidate-major
+    stage 1 exactly, like the annotated case."""
+    import dataclasses
+
+    spectra = []
+    for s in _spectra(db, 12, seed=41):
+        s2 = dataclasses.replace(s)
+        s2.precursors = [Precursor(mz=s.precursors[0].mz, charge=None)]
+        spectra.append(s2)
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -100.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        min_precursor_charge=2, max_precursor_charge=4,
+        report_psms=2, min_matched_peaks=1,
+    )
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    t_open = Scorer(db, sp).score_table(spectra)
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "999999999")
+    t_cand = Scorer(db, sp).score_table(spectra)
+    assert len(t_open) == len(t_cand) > 0
+    for k in t_cand.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_open.columns[k], t_cand.columns[k], err_msg=f"column {k}"
+        )
+    # the sweep really produced multiple charges
+    assert len(set(t_open.columns["charge"].tolist())) > 1
