@@ -58,7 +58,9 @@ F32 = np.float32
 # slack (<= 2 partial rows per window) stays small next to the window
 # length: measured on v5e at 2.6M peptides / -500+100 Da, V_ROW=64 cut
 # the gather phase ~3x over the round-1 8-wide chunk layout.
-V_ROW = 64
+# SAGE_TPU_OPEN_VROW overrides for A/B runs (pow2; banded windows are
+# shorter, where narrower rows trade descriptors for less sort slack).
+V_ROW = int(os.environ.get("SAGE_TPU_OPEN_VROW", "64"))
 
 
 def _quarter_octave(n: int) -> int:
