@@ -19,6 +19,8 @@ __all__ = [
     "SearchParams",
     "Runner",
     "ShardedScorer",
+    "make_mesh",
+    "maybe_init_distributed",
     "build_search",
     "load_config",
     "save_database",
@@ -42,10 +44,14 @@ def __getattr__(name):
         from .pipeline.runner import Runner
 
         return Runner
-    if name == "ShardedScorer":
-        from .parallel.sharding import ShardedScorer
+    if name in ("ShardedScorer", "make_mesh"):
+        from .parallel import sharding
 
-        return ShardedScorer
+        return getattr(sharding, name)
+    if name == "maybe_init_distributed":
+        from .parallel.multihost import maybe_init_distributed
+
+        return maybe_init_distributed
     if name in ("build_search", "load_config"):
         from .pipeline import input as _input
 
