@@ -400,3 +400,67 @@ def test_width_bucketed_stage1_matches_single_dispatch(monkeypatch):
         np.testing.assert_array_equal(
             t_bucketed.columns[k], t_single.columns[k], err_msg=f"column {k}"
         )
+
+
+def test_hyperscore_flavors():
+    """Both ScoreType flavors match the reference arithmetic
+    (scoring.rs:179-201): Sage = ln((sb+1)(sy+1)) + lnfact(mb) +
+    lnfact(my) with f32 pre-sums; OpenMS = ln_1p(sb+sy) in f32 then f64;
+    non-finite -> 255; and the lnfact(0) == 1.0 quirk."""
+    import math
+
+    from sage_tpu.ops.features import hyperscore
+
+    def lnfact(n):
+        if n == 0:
+            return 1.0
+        return (
+            n * math.log(n) - n + 0.5 * math.log(n)
+            + 0.5 * math.log(2 * math.pi * n)
+        )
+
+    sb, sy = np.float32(1234.5), np.float32(67.25)
+    want_sage = (
+        math.log(float(np.float32(sb + np.float32(1.0)))
+                 * float(np.float32(sy + np.float32(1.0))))
+        + lnfact(7) + lnfact(9)
+    )
+    assert hyperscore("SageHyperScore", 7, 9, sb, sy) == pytest.approx(
+        want_sage, rel=1e-12
+    )
+    want_openms = (
+        float(np.log1p(np.float32(sb + sy))) + lnfact(7) + lnfact(9)
+    )
+    assert hyperscore("OpenMSHyperScore", 7, 9, sb, sy) == pytest.approx(
+        want_openms, rel=1e-12
+    )
+    # zero-matched: lnfact(0) -> 1.0 on both
+    assert hyperscore("SageHyperScore", 0, 0, np.float32(0), np.float32(0)) \
+        == pytest.approx(math.log(1.0) + 2.0)
+    # overflow to non-finite clamps at 255
+    assert hyperscore(
+        "SageHyperScore", 3, 3, np.float32(-1.0), np.float32(5.0)
+    ) == 255.0
+
+
+def test_openms_score_type_end_to_end(golden_setup):
+    """score_type flows config -> SearchParams -> scoring: the OpenMS
+    flavor produces the ln_1p-based hyperscore for the golden PSM."""
+    import dataclasses
+
+    from sage_tpu.ops.features import hyperscore
+
+    db, params, spectra = golden_setup
+    p2 = dataclasses.replace(params, score_type="OpenMSHyperScore")
+    t = Scorer(db, p2).score_table(spectra)
+    assert len(t) == 1
+    t_sage = Scorer(db, params).score_table(spectra)
+    # same PSM, different score: OpenMS hyperscore must be strictly
+    # smaller than Sage's (ln1p(sb+sy) < ln((sb+1)(sy+1)) when both
+    # summed intensities are > 0)
+    assert int(t.columns["peptide_idx"][0]) == int(
+        t_sage.columns["peptide_idx"][0]
+    )
+    assert float(t.columns["hyperscore"][0]) < float(
+        t_sage.columns["hyperscore"][0]
+    )
