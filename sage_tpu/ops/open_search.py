@@ -170,10 +170,7 @@ def _entries_flat(frag_pep8, starts, lens, F, Pk, Z):
     return neg, z_of
 
 
-@functools.partial(
-    jax.jit, static_argnames=("F", "Wc", "Pk", "Z", "K", "R", "chunked")
-)
-def _device_open_count(
+def _open_count_core(
     frag_pep8,     # i32 [N_frag_pad / V_ROW, V_ROW] (HBM)
     starts,        # i32 [B, Z*Pk] window range starts
     lens,          # i32 [B, Z*Pk] window range lengths
@@ -183,6 +180,8 @@ def _device_open_count(
     row_maxz,      # i32 [R] exclusive fragment-charge bound
     *, F, Wc, Pk, Z, K, R, chunked,
 ):
+    """Traceable core of the peak-major preliminary count. Returns
+    (vals [R, K], cand [R, K], matched_total [R], scored [R])."""
     B = starts.shape[0]
     if chunked:
         neg, z_of = _entries_rows(frag_pep8, starts, lens, Wc, Pk, Z)
@@ -237,8 +236,19 @@ def _device_open_count(
         cand = jnp.where(vals > 0, p[idx], np.int32(0))
         return vals, cand, matched_total, scored
 
-    vals, cand, mtot, scored = jax.vmap(per_row)(
-        row_spec, row_i0, row_i1, row_maxz
+    return jax.vmap(per_row)(row_spec, row_i0, row_i1, row_maxz)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("F", "Wc", "Pk", "Z", "K", "R", "chunked")
+)
+def _device_open_count(
+    frag_pep8, starts, lens, row_spec, row_i0, row_i1, row_maxz,
+    *, F, Wc, Pk, Z, K, R, chunked,
+):
+    vals, cand, mtot, scored = _open_count_core(
+        frag_pep8, starts, lens, row_spec, row_i0, row_i1, row_maxz,
+        F=F, Wc=Wc, Pk=Pk, Z=Z, K=K, R=R, chunked=chunked,
     )
     return jnp.concatenate(
         [vals, cand, mtot[:, None], scored[:, None]], axis=1
@@ -397,15 +407,11 @@ class OpenSearcher:
     # searches on large proteomes can reach 10^5 entries per spectrum)
     MAX_ELEMENTS = 64 << 20
 
-    def preliminary_packed(
-        self, masses: np.ndarray, rows: Dict[str, np.ndarray],
-        maxz: np.ndarray, R: int, Zb: int, _ranges=None,
-    ) -> np.ndarray:
-        """Packed i32 [R, 2K+2] preliminary result for the given query
-        rows (same layout as the candidate-major top-k path). Splits into
-        spectrum sub-batches when the ragged-entry matrices would exceed
-        the element budget (ranges are computed once and sliced through
-        the recursion)."""
+    def _geometry(self, masses, rows, Zb, _ranges):
+        """Shared host planning for the open-search device programs:
+        band-aware window ranges, gather layout, and the static padded
+        shapes (see preliminary_packed's docstrings for the policies).
+        Returns (starts, lens, Pk_eff, chunked, size, Wc, F)."""
         B = masses.shape[0]
         if _ranges is None:
             # per-spectrum union of precursor windows -> covered bands
@@ -436,63 +442,7 @@ class OpenSearcher:
             lens > 0, (ends + (V_ROW - 1)) // V_ROW - starts // V_ROW, 0
         ).sum(axis=1)  # gather rows per spectrum
         totals = lens.sum(axis=1)
-        if B > 1:
-            size = tc * V_ROW if chunked else totals
-            F_est = int(size.max()) + 1
-            split = None
-            if B * F_est > self.MAX_ELEMENTS:
-                # memory split: halve the spectrum batch
-                split = np.arange(B) < B // 2
-            elif B >= 128 and os.environ.get("SAGE_TPU_OPEN_SPLIT") != "0":
-                # size-class split: the sort axis pads every spectrum to
-                # the densest one; when the p75 class is a factor under
-                # the max class, dispatching the light spectra at their
-                # own (quarter-octave) width saves ~25-50% of sort+count
-                # work for one extra dispatch
-                p75 = _quarter_octave(
-                    max(int(np.percentile(size, 75)), 1)
-                )
-                if _quarter_octave(F_est) > 2 * p75:
-                    split = size <= p75
-            if split is not None and 0 < split.sum() < B:
-                si = rows["si"]
-                n_rows = si.size
-                maxz_rows = maxz[:n_rows]
-                out = np.zeros((R, 2 * self.K + 2), np.int32)
-                # spectrum index remap per side (order-preserving)
-                for sel in (split, ~split):
-                    spec_ids = np.flatnonzero(sel)
-                    remap = np.full(B, -1, np.int64)
-                    remap[spec_ids] = np.arange(spec_ids.size)
-                    rsel = sel[si]
-                    sub_rows = {
-                        k: (
-                            remap[v[rsel]].astype(v.dtype)
-                            if k == "si" else v[rsel]
-                        )
-                        for k, v in rows.items()
-                    }
-                    n_sub = int(rsel.sum())
-                    # pow2 padding: exact 8-multiples would compile a new
-                    # executable per distinct sub-batch row count
-                    R_sub = 8
-                    while R_sub < n_sub:
-                        R_sub *= 2
-                    mz_sub = np.full(R_sub, 2, np.int32)
-                    mz_sub[:n_sub] = maxz_rows[rsel]
-                    sub = np.asarray(
-                        jax.device_get(
-                            self.preliminary_packed(
-                                masses[spec_ids], sub_rows, mz_sub,
-                                R_sub, Zb,
-                                _ranges=(
-                                    starts[spec_ids], lens[spec_ids]
-                                ),
-                            )
-                        )
-                    )
-                    out[np.flatnonzero(rsel)] = sub[:n_sub]
-                return out
+        size = tc * V_ROW if chunked else totals
         # Wr row slots cover the densest spectrum; quarter-octave
         # padding (like F below) bounds recompiles while keeping the
         # sort axis (proportional to Wr) within 12% of minimal
@@ -508,6 +458,86 @@ class OpenSearcher:
         F = ((max(F, self.K, 128) + 127) // 128) * 128
         if chunked:
             F = min(F, Wc * V_ROW)
+        return starts, lens, Pk_eff, chunked, size, Wc, F
+
+    def _find_split(self, B, size):
+        """Sub-batch split mask, or None: halve over the element budget;
+        otherwise peel the light size class off a heavily skewed batch
+        (the sort axis pads every spectrum to the densest one — a p75
+        class a factor under the max saves ~25-50% of sort+count work
+        for one extra dispatch)."""
+        if B <= 1:
+            return None
+        F_est = int(size.max()) + 1
+        if B * F_est > self.MAX_ELEMENTS:
+            return np.arange(B) < B // 2
+        if B >= 128 and os.environ.get("SAGE_TPU_OPEN_SPLIT") != "0":
+            p75 = _quarter_octave(max(int(np.percentile(size, 75)), 1))
+            if _quarter_octave(F_est) > 2 * p75:
+                split = size <= p75
+                if 0 < split.sum() < B:
+                    return split
+        return None
+
+    @staticmethod
+    def _sub_batches(split, rows, maxz, extra=()):
+        """Iterate the two sides of a split: yields (spec_ids, rsel,
+        sub_rows, mz_sub, R_sub, extras_subset) with spectrum indices
+        remapped order-preservingly."""
+        si = rows["si"]
+        n_rows = si.size
+        maxz_rows = maxz[:n_rows]
+        B = split.shape[0]
+        for sel in (split, ~split):
+            spec_ids = np.flatnonzero(sel)
+            remap = np.full(B, -1, np.int64)
+            remap[spec_ids] = np.arange(spec_ids.size)
+            rsel = sel[si]
+            sub_rows = {
+                k: (
+                    remap[v[rsel]].astype(v.dtype) if k == "si" else v[rsel]
+                )
+                for k, v in rows.items()
+            }
+            n_sub = int(rsel.sum())
+            # pow2 padding: exact 8-multiples would compile a new
+            # executable per distinct sub-batch row count
+            R_sub = 8
+            while R_sub < n_sub:
+                R_sub *= 2
+            mz_sub = np.full(R_sub, 2, np.int32)
+            mz_sub[:n_sub] = maxz_rows[rsel]
+            yield spec_ids, rsel, sub_rows, mz_sub, R_sub, n_sub
+
+    def preliminary_packed(
+        self, masses: np.ndarray, rows: Dict[str, np.ndarray],
+        maxz: np.ndarray, R: int, Zb: int, _ranges=None,
+    ) -> np.ndarray:
+        """Packed i32 [R, 2K+2] preliminary result for the given query
+        rows (same layout as the candidate-major top-k path). Splits into
+        spectrum sub-batches when the ragged-entry matrices would exceed
+        the element budget (ranges are computed once and sliced through
+        the recursion)."""
+        B = masses.shape[0]
+        starts, lens, Pk_eff, chunked, size, Wc, F = self._geometry(
+            masses, rows, Zb, _ranges
+        )
+        split = self._find_split(B, size)
+        if split is not None:
+            out = np.zeros((R, 2 * self.K + 2), np.int32)
+            for spec_ids, rsel, sub_rows, mz_sub, R_sub, n_sub in (
+                self._sub_batches(split, rows, maxz)
+            ):
+                sub = np.asarray(
+                    jax.device_get(
+                        self.preliminary_packed(
+                            masses[spec_ids], sub_rows, mz_sub, R_sub, Zb,
+                            _ranges=(starts[spec_ids], lens[spec_ids]),
+                        )
+                    )
+                )
+                out[np.flatnonzero(rsel)] = sub[:n_sub]
+            return out
         n_rows = rows["si"].size
         row_spec = np.zeros(R, np.int32)
         row_i0 = np.zeros(R, np.int32)
