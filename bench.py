@@ -109,7 +109,9 @@ def timed_passes(scorer, spectra, batch, passes):
             n_psms += len(feats)
         times.append(time.perf_counter() - t1)
     fetch_wait = search_mod.get_fetch_wait() / passes
-    return sorted(times)[len(times) // 2], n_psms, fetch_wait
+    return (
+        sorted(times)[len(times) // 2], n_psms, fetch_wait, min(times),
+    )
 
 
 def main():
@@ -132,12 +134,13 @@ def main():
 
     # --- TPU narrow search (headline) ---
     scorer = Scorer(db, narrow)
-    dt, n_psms, fetch_wait = timed_passes(
+    dt, n_psms, fetch_wait, dt_best = timed_passes(
         scorer, spectra[:N_SPECTRA], BATCH, PASSES
     )
     sps = N_SPECTRA / dt
     print(
-        f"# narrow: {N_SPECTRA} spectra in {dt:.2f}s ({sps:.0f} sp/s), "
+        f"# narrow: {N_SPECTRA} spectra in {dt:.2f}s ({sps:.0f} sp/s, "
+        f"best pass {N_SPECTRA / dt_best:.0f}), "
         f"{n_psms} PSMs, fetch-wait {fetch_wait:.2f}s/pass",
         file=sys.stderr,
     )
@@ -150,6 +153,9 @@ def main():
         "db_fragments": int(db.num_fragments),
         "fetch_wait_s_per_pass": round(fetch_wait, 3),
         "wall_s_per_pass": round(dt, 3),
+        # best pass: the host<->TPU tunnel in this environment has
+        # multi-minute phase drift; the median-best spread bounds it
+        "value_best_pass": round(N_SPECTRA / dt_best, 2),
         "baseline_cores": BASELINE_CORES,
     }
     if b1:
@@ -172,17 +178,18 @@ def main():
         )
         print(f"# baseline open 1-core: {base_open}", file=sys.stderr)
         oscorer = Scorer(db, open_params)
-        odt, o_psms, o_fetch = timed_passes(
+        odt, o_psms, o_fetch, odt_best = timed_passes(
             oscorer, spectra[:N_SPECTRA_OPEN], BATCH_OPEN, max(PASSES - 2, 1)
         )
         osps = N_SPECTRA_OPEN / odt
         print(
             f"# open: {N_SPECTRA_OPEN} spectra in {odt:.2f}s "
-            f"({osps:.0f} sp/s), {o_psms} PSMs, fetch-wait "
-            f"{o_fetch:.2f}s/pass",
+            f"({osps:.0f} sp/s, best pass {N_SPECTRA_OPEN / odt_best:.0f}), "
+            f"{o_psms} PSMs, fetch-wait {o_fetch:.2f}s/pass",
             file=sys.stderr,
         )
         result["open_sps"] = round(osps, 2)
+        result["open_sps_best_pass"] = round(N_SPECTRA_OPEN / odt_best, 2)
         result["open_fetch_wait_s_per_pass"] = round(o_fetch, 3)
         if base_open:
             ob1 = base_open["spectra_per_s"]
