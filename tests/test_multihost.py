@@ -187,3 +187,53 @@ def test_two_process_lfq_matches_single(tmp_path):
     # the LFQ table actually quantified rows from both hosts' files
     lines = open(os.path.join(dist_dir, "lfq.tsv")).read().splitlines()
     assert len(lines) >= 10
+
+
+def test_two_process_tmt_matches_single(tmp_path):
+    """TMT quant records gathered across hosts: two TMT files shard one
+    per host; tmt.tsv must equal the single-process run byte-for-byte."""
+    from test_pipeline import _write_tmt_mzml
+
+    _write_tmt_mzml(tmp_path / "t1.mzML")
+    _write_tmt_mzml(tmp_path / "t2.mzML")
+    cfg = json.loads(json.dumps(CONFIG))
+    cfg["mzml_paths"] = [str(tmp_path / "t1.mzML"), str(tmp_path / "t2.mzML")]
+    cfg["deisotope"] = False
+    cfg["quant"] = {"tmt": "Tmt6", "tmt_settings": {"level": 2}}
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    single_dir = str(tmp_path / "single")
+    os.makedirs(single_dir)
+    r = subprocess.run(
+        [sys.executable, WORKER, cfg_path, single_dir],
+        env=_worker_env({}), capture_output=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    dist_dir = str(tmp_path / "dist")
+    os.makedirs(dist_dir)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, cfg_path, dist_dir],
+            env=_worker_env({
+                "SAGE_TPU_COORDINATOR": f"127.0.0.1:{port}",
+                "SAGE_TPU_NUM_PROCS": "2",
+                "SAGE_TPU_PROC_ID": str(i),
+            }),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    for name in ("results.sage.tsv", "tmt.tsv"):
+        a = open(os.path.join(single_dir, name), "rb").read()
+        b = open(os.path.join(dist_dir, name), "rb").read()
+        assert a == b, f"{name} differs between 1-process and 2-process"
+    tmt = open(os.path.join(dist_dir, "tmt.tsv")).read().splitlines()
+    assert len(tmt) == 3  # header + one PSM per file

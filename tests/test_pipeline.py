@@ -208,26 +208,22 @@ def test_multi_file_run(tmp_path):
     assert peptides == {"LQSRPAAPPAPGPGQLTLR"}
 
 
-def test_tmt_quant_e2e(tmp_path):
-    """MS2-level TMT: reporter ions extracted per spectrum into tmt.tsv
-    and the nested parquet reporter_ion_intensity column (tmt.rs:314-352,
-    parquet.rs:75-83)."""
-    pytest.importorskip("pyarrow")
+
+def _write_tmt_mzml(path):
+    """One-scan mzML with TMT6 reporter peaks spliced into the golden
+    spectrum; returns the reporter intensities."""
     import base64
     import zlib as _zlib
 
     import numpy as np
-    import pyarrow.parquet as pq
 
-    from sage_tpu.quant.tmt import TMT6PLEX
-    from sage_tpu.chem.mass import PROTON
-
-    # take the golden spectrum and splice TMT6 reporter peaks into it
+    from sage_tpu.chem.mass import PROTON  # noqa: F401 (parity import)
     from sage_tpu.io.mzml import read_mzml
+    from sage_tpu.quant.tmt import TMT6PLEX
 
     raw = read_mzml("/root/reference/tests/LQSRPAAPPAPGPGQLTLR.mzML")[0]
-    rep_mz = TMT6PLEX.astype(np.float64)  # stored as m/z (already [M+H]+)
-    rep_int = np.linspace(1e7, 6e7, 6)  # above top-N selection cutoff
+    rep_mz = TMT6PLEX.astype(np.float64)
+    rep_int = np.linspace(1e7, 6e7, 6)
     mz = np.concatenate([rep_mz, raw.mz.astype(np.float64)])
     inten = np.concatenate([rep_int.astype(np.float32), raw.intensity])
     order = np.argsort(mz)
@@ -253,8 +249,20 @@ def test_tmt_quant_e2e(tmp_path):
 <binaryDataArray><cvParam accession="MS:1000523" value=""/><cvParam accession="MS:1000574" value=""/><cvParam accession="MS:1000514" value=""/><binary>{enc(mz, np.float64)}</binary></binaryDataArray>
 <binaryDataArray><cvParam accession="MS:1000521" value=""/><cvParam accession="MS:1000574" value=""/><cvParam accession="MS:1000515" value=""/><binary>{enc(inten, np.float32)}</binary></binaryDataArray>
 </binaryDataArrayList></spectrum></spectrumList></run></mzML>'''
-    path = tmp_path / "tmt.mzML"
     path.write_text(doc)
+    return rep_int
+
+
+def test_tmt_quant_e2e(tmp_path):
+    """MS2-level TMT: reporter ions extracted per spectrum into tmt.tsv
+    and the nested parquet reporter_ion_intensity column (tmt.rs:314-352,
+    parquet.rs:75-83)."""
+    pytest.importorskip("pyarrow")
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = tmp_path / "tmt.mzML"
+    rep_int = _write_tmt_mzml(path)
 
     from sage_tpu.pipeline.input import build_search
     from sage_tpu.pipeline.runner import Runner
