@@ -62,9 +62,18 @@ SKIP_OPEN = os.environ.get("BENCH_SKIP_OPEN") == "1"
 
 
 def build_db():
-    """Build (or load from the /tmp cache) the benchmark database."""
-    cache = f"/tmp/sage_bench_db_{N_PROTEINS}.npz"
+    """Build (or load from the /tmp cache) the benchmark database. The
+    cache key includes a digest of the synthesis + digest parameters so a
+    parameter change can never silently reload a stale database."""
+    import hashlib
+    import inspect
+
     params = DatabaseParams()
+    sig = hashlib.sha1(
+        (repr(sorted(vars(params).items()))
+         + inspect.getsource(synth_fasta)).encode()
+    ).hexdigest()[:10]
+    cache = f"/tmp/sage_bench_db_{N_PROTEINS}_{sig}.npz"
     t0 = time.perf_counter()
     if os.path.exists(cache):
         try:
@@ -82,9 +91,11 @@ def build_db():
 
 
 def timed_passes(scorer, spectra, batch, passes):
-    """Median-of-N timed streaming passes (the tunnel jitter in this
-    environment can halve a single pass). Returns (median_s, psms,
-    fetch_wait_s_per_pass)."""
+    """Timed streaming passes (the tunnel jitter in this environment can
+    halve a single pass). Returns a dict: ``stat_s`` is the median when
+    >= 3 passes ran, else the WORST pass (labeled via ``stat``);
+    ``pass_times_s`` records every pass; ``fetch_wait_s`` is the
+    per-pass MEAN of wall time blocked on device->host fetches."""
     batches = [spectra[i : i + batch] for i in range(0, len(spectra), batch)]
     # Warmup: compiles every shape the timed passes hit.
     t_w = time.perf_counter()
@@ -108,10 +119,160 @@ def timed_passes(scorer, spectra, batch, passes):
         for feats in scorer.score_stream(batches):
             n_psms += len(feats)
         times.append(time.perf_counter() - t1)
-    fetch_wait = search_mod.get_fetch_wait() / passes
-    return (
-        sorted(times)[len(times) // 2], n_psms, fetch_wait, min(times),
+    return {
+        "stat_s": sorted(times)[len(times) // 2] if len(times) >= 3
+        else max(times),
+        "stat": "median" if len(times) >= 3 else "max",
+        "pass_times_s": [round(t, 3) for t in times],
+        "passes": len(times),
+        "warmup_s": round(warm_s, 1),
+        "psms": n_psms,
+        "fetch_wait_s": search_mod.get_fetch_wait() / len(times),
+        "best_s": min(times),
+    }
+
+
+def profile_narrow(scorer, spectra, batch):
+    """Split one narrow batch into device-execute / transfer / host / rtt
+    terms with the amortized-queue method (sage_tpu/utils/devprof.py) and
+    derive an MFU-style number for stage 1: compare-op throughput against
+    the VPU peak (override with SAGE_TPU_VPU_PEAK_OPS; the default 2e12
+    is a conservative single-core v5e estimate)."""
+    import jax.numpy as jnp
+
+    from sage_tpu.utils import devprof
+
+    b = spectra[:batch]
+    prof = {}
+    rtt = devprof.measure_rtt()
+    prof["rtt_s"] = round(rtt, 4)
+
+    t0 = time.perf_counter()
+    masses, intens, Pk = scorer._pad_peaks(b)
+    rows = scorer._expand_rows(b)
+    prof["host_prep_s"] = round(time.perf_counter() - t0, 4)
+    peaks_np = np.stack([masses, intens])
+    peaks_dev = jnp.asarray(peaks_np)
+    prof["upload_s"] = round(
+        devprof.upload_s(peaks_np.nbytes, rtt=rtt), 4
     )
+    prof["upload_mib"] = round(peaks_np.nbytes / 2**20, 2)
+
+    def disp_s1():
+        d = scorer._prelim_dispatch(
+            b, masses=masses, peaks_dev=peaks_dev, rows=rows
+        )
+        return [bb["out_dev"] for bb in d.get("buckets", (d,))]
+
+    prof["s1_device_s"] = round(
+        devprof.amortized_exec_s(disp_s1, rtt=rtt), 4
+    )
+    d1 = scorer._prelim_dispatch(
+        b, masses=masses, peaks_dev=peaks_dev, rows=rows
+    )
+    t0 = time.perf_counter()
+    prelim = scorer._prelim_finalize(d1)
+    prof["s1_host_merge_s"] = round(time.perf_counter() - t0, 4)
+
+    def disp_s2():
+        d2 = scorer._stage2_dispatch(prelim, intens, Pk, peaks_dev=peaks_dev)
+        return [d2["out_dev"]] if d2["out_dev"] is not None else []
+
+    prof["s2_device_s"] = round(
+        devprof.amortized_exec_s(disp_s2, rtt=rtt), 4
+    )
+    d2 = scorer._stage2_dispatch(prelim, intens, Pk, peaks_dev=peaks_dev)
+    t0 = time.perf_counter()
+    scorer._stage2_finalize(b, prelim, d2, scorer.params.report_psms,
+                            None, masses, Pk)
+    prof["s2_host_finalize_s"] = round(time.perf_counter() - t0, 4)
+    prof["n_candidates"] = int(prelim["cand_pep"].size)
+
+    # stage-1 compare volume: per row, S*W*Lc*Pk*Z windows x (2 compares
+    # + 2 adds) for the rank-difference count
+    S = scorer.n_series
+    ops = 0
+    for bb in d1.get("buckets", (d1,)):
+        R = len(bb["p0"])
+        Lc = bb.get("Lc", scorer.tables.L)
+        ops += 4 * R * S * bb["W"] * Lc * Pk
+    peak = float(os.environ.get("SAGE_TPU_VPU_PEAK_OPS", "2e12"))
+    if prof["s1_device_s"] > 0:
+        prof["s1_ops"] = ops
+        prof["mfu_stage1"] = round(ops / prof["s1_device_s"] / peak, 4)
+    dev = prof["s1_device_s"] + prof["s2_device_s"]
+    prof["device_s_per_batch"] = round(dev, 4)
+    prof["device_only_sps"] = round(batch / dev, 1) if dev > 0 else None
+    prof["host_s_per_batch"] = round(
+        prof["host_prep_s"] + prof["s1_host_merge_s"]
+        + prof["s2_host_finalize_s"], 4
+    )
+    return prof
+
+
+def synth_mgf(spectra, path, file_stem):
+    """Write spectra as MGF (the pipeline bench input: text, fast to
+    parse, exercises the same read->process->search->ML->write path)."""
+    with open(path, "w") as f:
+        for i, s in enumerate(spectra):
+            prec = s.precursors[0]
+            f.write("BEGIN IONS\n")
+            f.write(f"TITLE={file_stem}.{i}.{i}.{prec.charge or 2}\n")
+            f.write(f"PEPMASS={prec.mz}\n")
+            f.write(f"CHARGE={prec.charge or 2}+\n")
+            f.write(f"RTINSECONDS={60.0 + 0.05 * i}\n")
+            for m, it in zip(s.masses, s.intensities):
+                f.write(f"{m + 1.0072764} {it}\n")
+            f.write("END IONS\n")
+
+
+def bench_pipeline(tmpdir):
+    """Warm full-pipeline throughput (files -> TSV, incl. db build, ML,
+    FDR, writers) at a documented smaller scale: the honest end-to-end
+    number next to the search-phase headline."""
+    import shutil
+
+    n_prot = int(os.environ.get("BENCH_PIPELINE_PROTEINS", "2000"))
+    n_spec = int(os.environ.get("BENCH_PIPELINE_SPECTRA", "8192"))
+    params = DatabaseParams()
+    fasta = Fasta.parse(synth_fasta(n_prot), params.decoy_tag, True)
+    db = params.build(fasta)
+    spectra = synth_spectra(db, n_spec)
+    os.makedirs(tmpdir, exist_ok=True)
+    fasta_path = os.path.join(tmpdir, "bench.fasta")
+    with open(fasta_path, "w") as f:
+        f.write(synth_fasta(n_prot))
+    mgf = os.path.join(tmpdir, "bench.mgf")
+    synth_mgf(spectra, mgf, "bench")
+
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    cfg = {
+        "database": {
+            "fasta": fasta_path,
+            "enzyme": {"missed_cleavages": 1, "min_len": 5, "max_len": 48,
+                       "cleave_at": "KR", "restrict": "P"},
+        },
+        "precursor_tol": {"ppm": [-20, 20]},
+        "fragment_tol": {"ppm": [-10, 10]},
+        "mzml_paths": [mgf],
+        "predict_rt": False,
+    }
+    times = []
+    for _ in range(2):  # first run compiles; second is the warm number
+        outdir = os.path.join(tmpdir, "out")
+        shutil.rmtree(outdir, ignore_errors=True)
+        search = build_search(dict(cfg), output_directory=outdir)
+        t0 = time.perf_counter()
+        Runner(search).run()
+        times.append(time.perf_counter() - t0)
+    return {
+        "pipeline_sps": round(n_spec / times[-1], 1),
+        "pipeline_wall_s": [round(t, 2) for t in times],
+        "pipeline_scale": {"proteins": n_prot, "peptides": len(db),
+                           "spectra": n_spec},
+    }
 
 
 def main():
@@ -134,14 +295,14 @@ def main():
 
     # --- TPU narrow search (headline) ---
     scorer = Scorer(db, narrow)
-    dt, n_psms, fetch_wait, dt_best = timed_passes(
-        scorer, spectra[:N_SPECTRA], BATCH, PASSES
-    )
+    r = timed_passes(scorer, spectra[:N_SPECTRA], BATCH, PASSES)
+    dt = r["stat_s"]
     sps = N_SPECTRA / dt
     print(
-        f"# narrow: {N_SPECTRA} spectra in {dt:.2f}s ({sps:.0f} sp/s, "
-        f"best pass {N_SPECTRA / dt_best:.0f}), "
-        f"{n_psms} PSMs, fetch-wait {fetch_wait:.2f}s/pass",
+        f"# narrow: {N_SPECTRA} spectra in {dt:.2f}s ({sps:.0f} sp/s "
+        f"[{r['stat']} of {r['passes']}], best pass "
+        f"{N_SPECTRA / r['best_s']:.0f}), {r['psms']} PSMs, "
+        f"fetch-wait {r['fetch_wait_s']:.2f}s/pass",
         file=sys.stderr,
     )
 
@@ -151,11 +312,15 @@ def main():
         "unit": "spectra/s",
         "db_peptides": len(db),
         "db_fragments": int(db.num_fragments),
-        "fetch_wait_s_per_pass": round(fetch_wait, 3),
+        "stat": r["stat"],
+        "passes": r["passes"],
+        "pass_times_s": r["pass_times_s"],
+        "warmup_s": r["warmup_s"],
+        "fetch_wait_s_per_pass": round(r["fetch_wait_s"], 3),
         "wall_s_per_pass": round(dt, 3),
         # best pass: the host<->TPU tunnel in this environment has
-        # multi-minute phase drift; the median-best spread bounds it
-        "value_best_pass": round(N_SPECTRA / dt_best, 2),
+        # multi-minute phase drift; the stat-best spread bounds it
+        "value_best_pass": round(N_SPECTRA / r["best_s"], 2),
         "baseline_cores": BASELINE_CORES,
     }
     if b1:
@@ -166,6 +331,16 @@ def main():
         # no C compiler: fall back to the round-1 documented stand-in
         result["vs_baseline"] = round(sps / 10_000.0, 4)
         result["baseline_note"] = "no C compiler; 10k sp/s stand-in"
+
+    # --- device/transfer/host split + stage-1 MFU (the instrument the
+    # throughput claims rest on) ---
+    if os.environ.get("BENCH_PROFILE", "1") != "0":
+        try:
+            prof = profile_narrow(scorer, spectra[:N_SPECTRA], BATCH)
+            result["profile"] = prof
+            print(f"# profile: {prof}", file=sys.stderr)
+        except Exception as e:
+            print(f"# profile failed: {e}", file=sys.stderr)
 
     # --- open search (the reference's flagship benchmark regime) ---
     if not SKIP_OPEN:
@@ -178,19 +353,24 @@ def main():
         )
         print(f"# baseline open 1-core: {base_open}", file=sys.stderr)
         oscorer = Scorer(db, open_params)
-        odt, o_psms, o_fetch, odt_best = timed_passes(
+        ro = timed_passes(
             oscorer, spectra[:N_SPECTRA_OPEN], BATCH_OPEN, max(PASSES - 2, 1)
         )
+        odt = ro["stat_s"]
         osps = N_SPECTRA_OPEN / odt
         print(
             f"# open: {N_SPECTRA_OPEN} spectra in {odt:.2f}s "
-            f"({osps:.0f} sp/s, best pass {N_SPECTRA_OPEN / odt_best:.0f}), "
-            f"{o_psms} PSMs, fetch-wait {o_fetch:.2f}s/pass",
+            f"({osps:.0f} sp/s [{ro['stat']} of {ro['passes']}], best pass "
+            f"{N_SPECTRA_OPEN / ro['best_s']:.0f}), {ro['psms']} PSMs, "
+            f"fetch-wait {ro['fetch_wait_s']:.2f}s/pass",
             file=sys.stderr,
         )
         result["open_sps"] = round(osps, 2)
-        result["open_sps_best_pass"] = round(N_SPECTRA_OPEN / odt_best, 2)
-        result["open_fetch_wait_s_per_pass"] = round(o_fetch, 3)
+        result["open_stat"] = ro["stat"]
+        result["open_passes"] = ro["passes"]
+        result["open_pass_times_s"] = ro["pass_times_s"]
+        result["open_sps_best_pass"] = round(N_SPECTRA_OPEN / ro["best_s"], 2)
+        result["open_fetch_wait_s_per_pass"] = round(ro["fetch_wait_s"], 3)
         if base_open:
             ob1 = base_open["spectra_per_s"]
             result["baseline_open_1core"] = round(ob1, 1)
@@ -199,12 +379,28 @@ def main():
             )
             result["open_vs_baseline_1core"] = round(osps / ob1, 3)
 
+    # --- warm full-pipeline throughput (first-class, smaller scale) ---
+    if os.environ.get("BENCH_PIPELINE", "1") != "0":
+        try:
+            result.update(bench_pipeline("/tmp/sage_bench_pipeline"))
+            print(f"# pipeline: {result['pipeline_sps']} sp/s warm "
+                  f"(walls {result['pipeline_wall_s']})", file=sys.stderr)
+        except Exception as e:
+            print(f"# pipeline bench failed: {e}", file=sys.stderr)
+
+    # Record file: off-repo by default so casual runs on other machines
+    # can't clobber the committed measurement; set BENCH_RECORD=1 (as the
+    # round's official run does) to update the repo copy.
+    record = (
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BASELINE_MEASURED.json")
+        if os.environ.get("BENCH_RECORD") == "1"
+        else "/tmp/BASELINE_MEASURED.json"
+    )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BASELINE_MEASURED.json"), "w"
-        ) as f:
+        with open(record, "w") as f:
             json.dump(result, f, indent=1)
+            f.write("\n")
     except OSError:
         pass
     print(json.dumps(result))

@@ -154,6 +154,12 @@ def _parse_azure_url(scheme: str, url: str) -> Tuple[str, Optional[str], str]:
         container, host = netloc.split("@", 1)
         account = host.split(".", 1)[0]
         return container, account, key
+    if "." in netloc:
+        # host-style netloc (adl://account.azuredatalakestore.net/container/
+        # key): the netloc is the ACCOUNT host, not a container name
+        account = netloc.split(".", 1)[0]
+        container, _, key = key.partition("/")
+        return container, account, key
     return netloc, None, key
 
 

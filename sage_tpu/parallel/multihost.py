@@ -107,10 +107,29 @@ def allgather_bytes(data: bytes) -> List[bytes]:
         np.asarray(len(data), np.int64)
     )  # [n]
     mx = max(int(lens.max()), 1)
-    buf = np.zeros(mx, np.uint8)
-    buf[: len(data)] = np.frombuffer(data, np.uint8)
-    bufs = np.asarray(multihost_utils.process_allgather(buf))  # [n, mx]
-    return [bufs[i, : int(lens[i])].tobytes() for i in range(n)]
+    # Gather in bounded chunks: peak footprint is n_procs x CHUNK rather
+    # than n_procs x max_blob (result blobs can reach hundreds of MB on
+    # real multi-file runs, and process_allgather materializes a device
+    # array on every host).
+    chunk = int(os.environ.get("SAGE_TPU_ALLGATHER_CHUNK_MB", "64")) << 20
+    chunk = max(chunk, 1 << 20)
+    src = np.frombuffer(data, np.uint8)
+    parts: List[List[np.ndarray]] = [[] for _ in range(n)]
+    for off in range(0, mx, chunk):
+        c = min(chunk, mx - off)
+        buf = np.zeros(c, np.uint8)
+        have = max(min(len(data) - off, c), 0)
+        if have:
+            buf[:have] = src[off : off + have]
+        bufs = np.asarray(multihost_utils.process_allgather(buf))  # [n, c]
+        for i in range(n):
+            take = max(min(int(lens[i]) - off, c), 0)
+            if take:
+                parts[i].append(bufs[i, :take])
+    return [
+        b"".join(p.tobytes() for p in parts[i]) if parts[i] else b""
+        for i in range(n)
+    ]
 
 
 def _process_count() -> int:
