@@ -52,18 +52,6 @@ def _run(outdir, mesh_env, monkeypatch, mesh_shape=None):
         return f.read()
 
 
-def _strip_psm_ids(tsv: bytes) -> bytes:
-    # psm_id is a global running counter (scoring.rs:163-166); it differs
-    # between runs in one process, like the reference's PSM_COUNTER
-    lines = tsv.decode().splitlines()
-    out = [lines[0]]
-    for line in lines[1:]:
-        cols = line.split("\t")
-        cols[0] = "_"
-        out.append("\t".join(cols))
-    return "\n".join(out).encode()
-
-
 @pytest.mark.parametrize("shape", ["8,1", "4,2"])
 def test_runner_mesh_matches_single_device(tmp_path, monkeypatch, shape):
     import jax
@@ -73,7 +61,10 @@ def test_runner_mesh_matches_single_device(tmp_path, monkeypatch, shape):
     single = _run(tmp_path / "single", "1,1", monkeypatch)
     meshed = _run(tmp_path / f"mesh{shape.replace(',', 'x')}", shape,
                   monkeypatch)
-    assert _strip_psm_ids(single) == _strip_psm_ids(meshed)
+    # Full byte equality INCLUDING psm_id: the Runner renumbers PSMs in
+    # deterministic global (file, batch, row) order after the merge
+    # (runner.py), so the mesh shape cannot leak into any column.
+    assert single == meshed
 
 
 def test_runner_uses_sharded_scorer_on_multidevice(monkeypatch, tmp_path):
