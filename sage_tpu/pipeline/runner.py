@@ -180,9 +180,14 @@ class Runner:
 
         prefilter_low_memory=True mirrors the reference's full-rescore
         retention (top report_psms per spectrum with >= min_matched_peaks);
-        False keeps every preliminary top-K candidate. Spectra are read
-        once up front in both modes (host RAM is not the constraint here
-        that it is for the reference's per-chunk re-reads)."""
+        False keeps every preliminary top-K candidate.
+
+        Memory is bounded like the reference's (runner.rs:144-151): all
+        files' MS2 spectra are held in RAM only while their estimated
+        footprint stays under SAGE_TPU_PREFILTER_RAM_MB (default 4096);
+        past that the loop flips to chunk-major with per-file re-reads,
+        holding O(one file) of spectra at a time — prefilter exists
+        precisely for machines where memory is the constraint."""
         from ..index.builder import reorder_peptides
 
         p = self.parameters
@@ -191,12 +196,37 @@ class Runner:
         chunk_size = dbp.auto_prefilter_chunk_size(fasta)
         log.info("prefilter chunk size: %d proteins", chunk_size)
 
-        ms2 = []
-        for file_id, path in enumerate(p.mzml_paths):
-            spectra = self.read_file(path, file_id)
-            ms2.extend(
-                s for s in spectra if s.level == 2 and len(s) >= p.min_peaks
+        budget = int(
+            os.environ.get("SAGE_TPU_PREFILTER_RAM_MB", "4096")
+        ) << 20
+
+        def spectra_bytes(specs):
+            return sum(
+                s.masses.nbytes + s.intensities.nbytes
+                + getattr(s.mobilities, "nbytes", 0) + 512
+                for s in specs
             )
+
+        def read_ms2(path, file_id):
+            spectra = self.read_file(path, file_id)
+            return [
+                s for s in spectra
+                if s.level == 2 and len(s) >= p.min_peaks
+            ]
+
+        ms2: Optional[list] = []
+        used = 0
+        for file_id, path in enumerate(p.mzml_paths):
+            batch = read_ms2(path, file_id)
+            used += spectra_bytes(batch)
+            if used > budget:
+                log.info(
+                    "prefilter spectra exceed %d MiB; re-reading files "
+                    "per FASTA chunk (low-memory mode)", budget >> 20,
+                )
+                ms2 = None  # chunk-major re-read mode
+                break
+            ms2.extend(batch)
 
         kept = []
         sp = self.search_params()
@@ -206,16 +236,27 @@ class Runner:
                 continue
             scorer = Scorer(mini, sp)
             keep_idx = set()
-            batches = [
-                ms2[i : i + SCORE_BATCH] for i in range(0, len(ms2), SCORE_BATCH)
-            ]
-            if dbp.prefilter_low_memory:
-                for t in scorer.score_stream(batches):
-                    keep_idx.update(int(i) for i in t.columns["peptide_idx"])
+
+            def score_into(keep_idx, spectra_list, scorer=scorer):
+                batches = [
+                    spectra_list[i : i + SCORE_BATCH]
+                    for i in range(0, len(spectra_list), SCORE_BATCH)
+                ]
+                if dbp.prefilter_low_memory:
+                    for t in scorer.score_stream(batches):
+                        keep_idx.update(
+                            int(i) for i in t.columns["peptide_idx"]
+                        )
+                else:
+                    for batch in batches:
+                        prelim = scorer._preliminary(batch)
+                        keep_idx.update(int(i) for i in prelim["cand_pep"])
+
+            if ms2 is not None:
+                score_into(keep_idx, ms2)
             else:
-                for batch in batches:
-                    prelim = scorer._preliminary(batch)
-                    keep_idx.update(int(i) for i in prelim["cand_pep"])
+                for file_id, path in enumerate(p.mzml_paths):
+                    score_into(keep_idx, read_ms2(path, file_id))
             kept.extend(mini.peptides[i] for i in sorted(keep_idx))
             log.info(
                 "- prefilter chunk: kept %d/%d peptides", len(keep_idx), len(mini)

@@ -442,3 +442,44 @@ def test_lfq_e2e_multifile(tmp_path):
     assert len(ratios) >= (len(tsv) - 1) * 0.6, (len(ratios), len(tsv))
     med = float(np.median(ratios))
     assert 1.4 <= med <= 2.8, med
+
+
+def test_prefilter_low_memory_read_pattern(tmp_path, monkeypatch):
+    """When the spectra RAM estimate exceeds the budget, prefilter must
+    re-read the input files per FASTA chunk (reference runner.rs:144-151)
+    instead of holding every file in RAM — and still find the golden PSM."""
+    from sage_tpu.pipeline.input import build_search
+    from sage_tpu.pipeline.runner import Runner
+
+    cfg = json.loads(json.dumps(CONFIG))
+    cfg["database"]["prefilter"] = True
+    cfg["database"]["prefilter_chunk_size"] = 1
+    search = build_search(cfg, output_directory=str(tmp_path))
+
+    reads = []
+    orig = Runner.read_file
+
+    def counting_read(self, path, file_id):
+        reads.append(path)
+        return orig(self, path, file_id)
+
+    monkeypatch.setattr(Runner, "read_file", counting_read)
+    # 0 MiB budget: every file is over budget -> chunk-major re-reads
+    monkeypatch.setenv("SAGE_TPU_PREFILTER_RAM_MB", "0")
+    runner = Runner(search)
+    result = runner.run()
+    # reads: 1 initial (budget probe) + one per (chunk, file) + 1 final
+    # search pass; with the in-RAM path it would be exactly 2 total
+    assert len(reads) > 2, f"expected per-chunk re-reads, saw {len(reads)}"
+    assert len(result["features"]) >= 1
+
+    # default budget: spectra stay in RAM -> exactly 2 reads
+    # (1 prefilter + 1 final search)
+    reads.clear()
+    monkeypatch.delenv("SAGE_TPU_PREFILTER_RAM_MB")
+    search2 = build_search(
+        json.loads(json.dumps(cfg)), output_directory=str(tmp_path / "b")
+    )
+    result2 = Runner(search2).run()
+    assert len(reads) == 2, f"expected 2 reads in RAM mode, saw {len(reads)}"
+    assert len(result2["features"]) == len(result["features"])
