@@ -133,6 +133,48 @@ def _pad_count(n: int) -> int:
     return ((n + 2047) // 2048) * 2048
 
 
+def _pad_rows(n: int) -> int:
+    """Stage-1 row-axis padding: powers of two up to 1024, then 512
+    multiples — finer than :func:`_pad_count` because the (W, Lc) row
+    buckets split a batch into middling row counts where pow2 padding
+    wastes up to 40% of stage-1 compute."""
+    n = max(n, 8)
+    if n <= 1024:
+        return next_power_of_two(n)
+    return ((n + 511) // 512) * 512
+
+
+# Ladder-length classes for stage-1 row bucketing: a fixed value grid
+# (not data-derived) so the set of compiled (W, Lc) executables stays
+# small and stable across batches.
+_LC_GRID = (8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def _lc_class(need: int, L: int) -> int:
+    for g in _LC_GRID:
+        if g >= need and g <= L:
+            return g
+    return L
+
+
+def _window_lneed(lens: np.ndarray, i0: np.ndarray, i1: np.ndarray):
+    """Per-row max ladder length needed: max(len) - 1 over the window
+    [i0, i1) of the mass-sorted peptide table (0 for empty windows)."""
+    n = i0.size
+    if n == 0:
+        return np.zeros(0, np.int64)
+    P = lens.shape[0]
+    # sentinel element so an end bound of P is a valid reduceat index
+    lens_pad = np.concatenate([lens.astype(np.int64), [0]])
+    a = np.minimum(i0, P - 1).astype(np.int64)
+    b = np.minimum(i1, P).astype(np.int64)
+    pairs = np.empty(2 * n, np.int64)
+    pairs[0::2] = a
+    pairs[1::2] = np.maximum(b, a)
+    mx = np.maximum.reduceat(lens_pad, pairs)[0::2]
+    return np.where(b > a, np.maximum(mx - 1, 0), 0)
+
+
 @dataclasses.dataclass
 class SearchParams:
     """Scorer configuration (scoring.rs:210-232)."""
@@ -287,7 +329,10 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
 
     # Strictly-sequential f32 sums in fragments-iterator order
     # (series, ion, charge). Adding 0.0f is exact, so unmatched
-    # slots can stay in the scan.
+    # slots can stay in the scan. ``unroll`` keeps the op order
+    # unchanged while cutting the while-loop iteration count ~16x
+    # (loop-step overhead, not arithmetic, dominates this scan when
+    # vmapped over tens of thousands of candidates).
     b_int = jnp.where(bm3, pk_i, 0.0).reshape(-1)
     y_int = jnp.where(~bm3, pk_i, 0.0).reshape(-1)
     terms = jnp.stack([b_int, y_int, ppm_t.reshape(-1)], axis=-1)  # [T, 3]
@@ -295,7 +340,9 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
     def add(carry, x):
         return carry + x, None
 
-    sums, _ = jax.lax.scan(add, jnp.zeros(3, jnp.float32), terms)
+    sums, _ = jax.lax.scan(
+        add, jnp.zeros(3, jnp.float32), terms, unroll=16
+    )
 
     # Longest-run automata (scoring.rs:771-793) — all N-term series
     # feed one run in series order, all C-term series the other,
@@ -303,34 +350,67 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
     # initial last == 0 swallowing ion index 0.
     m_any = matched.any(axis=-1)  # [S, L]
 
-    def run_scan(flags_and_idx):
-        def step(state, fi):
-            start, length, last, longest = state
-            m, l = fi
-            skip = m & (last == l)
-            extend = m & ~skip & (start + length == l)
-            restart = m & ~skip & ~extend
-            length = jnp.where(extend, length + 1, jnp.where(restart, 1, length))
-            start = jnp.where(restart, l, start)
-            longest = jnp.where(
-                extend | restart, jnp.maximum(longest, length), longest
-            )
-            last = jnp.where(m & ~skip, l, last)
-            return (start, length, last, longest), None
-
-        z0 = (np.int32(0), np.int32(0), np.int32(0), np.int32(0))
-        (_, _, _, longest), _ = jax.lax.scan(step, z0, flags_and_idx)
-        return longest
-
     ion_l = jnp.broadcast_to(ion_idx[None, :], (n_series, L))
-    b_flags = m_any[is_nterm].reshape(-1)
-    b_idx = ion_l[is_nterm].reshape(-1)
-    y_flags = m_any[~is_nterm].reshape(-1)
-    y_idx = ion_l[~is_nterm].reshape(-1)
-    lb = run_scan((b_flags, b_idx)) if is_nterm.any() else np.int32(0)
-    ly = run_scan((y_flags, y_idx)) if (~is_nterm).any() else np.int32(0)
+    n_b = int(is_nterm.sum())
+    n_y = int((~is_nterm).sum())
+    if n_b == 1:
+        lb = longest_run_vec(m_any[is_nterm][0], ion_idx)
+    elif n_b:
+        lb = longest_run_scan(
+            (m_any[is_nterm].reshape(-1), ion_l[is_nterm].reshape(-1))
+        )
+    else:
+        lb = np.int32(0)
+    if n_y == 1:
+        ly = longest_run_vec(m_any[~is_nterm][0], ion_idx)
+    elif n_y:
+        ly = longest_run_scan(
+            (m_any[~is_nterm].reshape(-1), ion_l[~is_nterm].reshape(-1))
+        )
+    else:
+        ly = np.int32(0)
 
     return mb, my, sums[0], sums[1], sums[2], lb, ly
+
+
+def longest_run_scan(flags_and_idx):
+    """The reference's Run automaton verbatim (scoring.rs:771-793) as a
+    sequential scan over (matched, ion_index) pairs — the general form
+    that handles several series feeding one terminus's Run."""
+    def step(state, fi):
+        start, length, last, longest = state
+        m, l = fi
+        skip = m & (last == l)
+        extend = m & ~skip & (start + length == l)
+        restart = m & ~skip & ~extend
+        length = jnp.where(extend, length + 1, jnp.where(restart, 1, length))
+        start = jnp.where(restart, l, start)
+        longest = jnp.where(
+            extend | restart, jnp.maximum(longest, length), longest
+        )
+        last = jnp.where(m & ~skip, l, last)
+        return (start, length, last, longest), None
+
+    z0 = (np.int32(0), np.int32(0), np.int32(0), np.int32(0))
+    (_, _, _, longest), _ = jax.lax.scan(
+        step, z0, flags_and_idx, unroll=8
+    )
+    return longest
+
+
+def longest_run_vec(flags, ion_idx):
+    """Single-series terminus: the Run automaton reduces to "longest run
+    of consecutive matched ion indices with index 0 swallowed" (``last``
+    inits to 0, so the first visit of l=0 always takes the skip branch;
+    every later l is strictly greater than any recorded ``last``). That
+    is exactly computable in parallel with an integer cumulative max —
+    bit-exact because every op is integral:
+    run_len[l] = l - (last unmatched index <= l). Equivalence to
+    ``longest_run_scan`` is property-tested (test_search_golden.py)."""
+    m1 = flags & (ion_idx > 0)
+    nf = jnp.where(m1, np.int32(-1), ion_idx)
+    prev_nf = jax.lax.cummax(nf)
+    return jnp.max(jnp.where(m1, ion_idx - prev_nf, 0))
 
 
 def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
@@ -526,9 +606,14 @@ class Scorer:
     def _series_valid_mask(self, lens_c, L):
         return series_valid_mask(lens_c, L, self.series, self.min_ion_index)
 
-    def _build_stage1(self, W: int, Pk: int, R: int, Z: int):
+    def _build_stage1(self, W: int, Pk: int, R: int, Z: int,
+                      Lc: Optional[int] = None):
         tables = self.tables
-        L = tables.L
+        # Lc caps the ladder axis for this executable: rows are bucketed
+        # so every candidate in the window has len-1 <= Lc (window mass
+        # correlates with peptide length, so most buckets need a fraction
+        # of the global max — stage-1 compute is proportional to W*Lc).
+        L = tables.L if Lc is None else min(Lc, tables.L)
         K = self.K
         frag_tol = self.params.fragment_tol
         n_series = self.n_series
@@ -663,14 +748,25 @@ class Scorer:
         is_nterm = np.array([_SERIES_NTERM[k] for k in series], dtype=bool)
 
         precomp = tables.lad_full is not None
+        # Prefer the lane-padded 2D ladder view: gathering [SLp=128-lane]
+        # rows is near-free (one descriptor per contiguous 512B row) where
+        # the [S, L] 3D gather lowers to a far slower elementwise form —
+        # measured 45 ms vs ~0 ms for 86k candidates on v5e.
+        use_2d = tables.lad2d_full is not None
+        SL = n_series * L
         tbl_args = (
-            (tables.lad_full,)
+            (tables.lad2d_full,)
+            if use_2d
+            else (tables.lad_full,)
             if precomp
             else (tables.resmass, tables.nterm, tables.mono, tables.lens)
         )
 
         def per_item(tbl, pkm, pki, pep, maxz):
-            if precomp:
+            if use_2d:
+                f = tbl[0][pep][:SL].reshape(n_series, L)
+                fvalid = None
+            elif precomp:
                 f = tbl[0][pep]  # [S, L]; invalid slots are -inf
                 fvalid = None
             else:
@@ -787,8 +883,8 @@ class Scorer:
         run._tbl = (lad2d,)
         return run, counts_only
 
-    def _stage1(self, W, Pk, R, Z):
-        key = (W, Pk, R, Z)
+    def _stage1(self, W, Pk, R, Z, Lc=None):
+        key = (W, Pk, R, Z, Lc)
         if key not in self._stage1_cache:
             # Pallas stage-1 wins at narrow windows (one fused program,
             # VMEM-resident) but its per-candidate loop loses to XLA's
@@ -805,7 +901,7 @@ class Scorer:
             if self._use_pallas(fits):
                 self._stage1_cache[key] = self._build_stage1_pallas(W, Pk, R, Z)
             else:
-                self._stage1_cache[key] = self._build_stage1(W, Pk, R, Z)
+                self._stage1_cache[key] = self._build_stage1(W, Pk, R, Z, Lc)
         return self._stage1_cache[key]
 
     def _stage2_compact(self, Pk, N, Z):
@@ -1177,6 +1273,10 @@ class Scorer:
         L = tables.L
         cfg = self.params.max_fragment_charge
         Zcap = self.Z
+        # ladder rows for the rescore: the lane-padded 2D view gathers
+        # ~50x faster than the 3D [S, L] form (see _build_stage2_compact)
+        use_2d = tables.lad2d_full is not None
+        n_series_f = len(series)
 
         def run_inner(tbl_s1, lad_full, peaks_dev, ints):
             # ints: [7, R] i32 (spec, p0, i0, i1, maxz, z, iso)
@@ -1233,7 +1333,12 @@ class Scorer:
             c_maxz = jnp.clip(jnp.maximum(cap, 2), 2, Zcap + 1)
 
             def per_item(pkm, pki, pep_i, mz_i):
-                f = lad_full[pep_i]
+                if use_2d:
+                    f = lad_full[pep_i][: n_series_f * L].reshape(
+                        n_series_f, L
+                    )
+                else:
+                    f = lad_full[pep_i]
                 return rescore_candidate(
                     f, None, pkm, pki, mz_i,
                     series=series, frag_tol=frag_tol, Z=Zb,
@@ -1276,7 +1381,11 @@ class Scorer:
         jitted = jax.jit(run_inner)
 
         def run(peaks_dev, ints):
-            return jitted(s1_tbl, tables.lad_full, peaks_dev, ints)
+            return jitted(
+                s1_tbl,
+                tables.lad2d_full if use_2d else tables.lad_full,
+                peaks_dev, ints,
+            )
 
         return run
 
@@ -1487,22 +1596,23 @@ class Scorer:
                 "p0": p0, "spec_idx": spec_idx, "row_z": row_z,
                 "row_iso": row_iso,
             }
-        buckets = self._width_buckets(rows, n_rows, W)
+        buckets = self._row_buckets(rows, n_rows, W)
         if buckets is not None:
             import os
 
             if os.environ.get("SAGE_TPU_WIDTH_BUCKETS") == "0":
                 buckets = None
         if buckets is not None:
-            # Dispatch each width class at its own (padded) window size:
-            # stage-1 compute is proportional to W x rows, and window
-            # widths are heavily skewed (p50 is typically ~1/5 of the
-            # pow2-padded max at proteome scale), so splitting recovers
-            # a 2-3x stage-1 speedup for two extra async dispatches.
+            # Dispatch each (window-width, ladder-length) class at its own
+            # padded shape: stage-1 compute is proportional to W x Lc x
+            # rows, widths are heavily skewed (p50 ~1/5 of the pow2 max at
+            # proteome scale) and window mass anti-correlates width with
+            # peptide length, so the 2D split recovers 2-4x of stage-1
+            # compute for a few extra async dispatches.
             outs = []
-            for Wb, idx in buckets:
+            for Wb, Lcb, idx in buckets:
                 nb = idx.size
-                Rb = _pad_count(nb)
+                Rb = _pad_rows(nb)
                 sub = {
                     "spec_idx": np.zeros(Rb, np.int32),
                     "p0": np.zeros(Rb, np.int32),
@@ -1521,7 +1631,7 @@ class Scorer:
                 sub["maxz"][:nb] = maxz[idx]
                 sub["z"][:nb] = row_z[idx]
                 sub["iso"][:nb] = row_iso[idx]
-                fnb, co_b = self._stage1(Wb, Pk, Rb, Zb)
+                fnb, co_b = self._stage1(Wb, Pk, Rb, Zb, Lcb)
                 ints_b = np.stack(
                     [sub["spec_idx"], sub["p0"], sub["i0"], sub["i1"],
                      sub["maxz"]]
@@ -1532,7 +1642,8 @@ class Scorer:
                 packed_b = getattr(fnb, "_packed", False)
                 outs.append({
                     "out_dev": out_b, "counts_only": co_b, "n_rows": nb,
-                    "W": Wb, "p0": sub["p0"], "spec_idx": sub["spec_idx"],
+                    "W": Wb, "Lc": Lcb, "p0": sub["p0"],
+                    "spec_idx": sub["spec_idx"],
                     "row_z": sub["z"], "row_iso": sub["iso"],
                     "packed": packed_b,
                     "redo": (
@@ -1559,13 +1670,17 @@ class Scorer:
             ) if packed else None,
         }
 
-    @staticmethod
-    def _width_buckets(rows, n_rows, W):
-        """Split query rows into up to 3 pow2 window-width classes
-        (each row lands in the smallest class covering its precursor
-        window). Returns [(Wb, row_indices)] largest-first, or None when
-        a single dispatch is as good (few rows, narrow max width, or no
-        class would hold a meaningful share of rows)."""
+    def _row_buckets(self, rows, n_rows, W):
+        """Split query rows into up to 3 pow2 window-width classes x up
+        to 3 ladder-length classes (each row lands in the smallest class
+        covering its precursor window and the longest peptide inside it).
+        Returns [(Wb, Lcb, row_indices)] largest-W-first, or None when a
+        single dispatch is as good (few rows, narrow max width).
+
+        The split is 2D because width and length ANTI-correlate: ppm
+        windows narrow toward the mass extremes, so the narrow-width
+        class mixes the lightest (shortest) and heaviest (longest)
+        peptides — a per-width Lc max would recover nothing."""
         if n_rows < 256 or W < 64:
             return None
         widths = (rows["i1"] - rows["i0"]).astype(np.int64)
@@ -1574,8 +1689,6 @@ class Scorer:
         while lvl >= 16 and len(levels) < 3:
             levels.append(lvl)
             lvl //= 2
-        if len(levels) < 2:
-            return None
         lv = np.asarray(sorted(levels), np.int64)          # ascending
         assign = np.searchsorted(lv, widths, side="left")  # smallest fit
         counts = np.bincount(assign, minlength=lv.size)
@@ -1588,12 +1701,49 @@ class Scorer:
                 counts[i + 1] += counts[i]
                 counts[i] = 0
         live = [i for i in range(lv.size) if counts[i] > 0]
-        if len(live) < 2:
+        L = self.tables.L if self.tables is not None else None
+        if len(live) < 2 and (L is None or L <= _LC_GRID[0]):
             return None
-        return [
-            (int(lv[i]), np.flatnonzero(assign == i))
-            for i in sorted(live, reverse=True)
-        ]
+
+        # Length classes within each width class, from the fixed grid so
+        # executable shapes stay stable across batches.
+        lneed = _window_lneed(
+            self.db.table.lens, rows["i0"], rows["i1"]
+        )
+        out = []
+        for i in sorted(live, reverse=True):
+            idx = np.flatnonzero(assign == i)
+            if L is None:
+                out.append((int(lv[i]), None, idx))
+                continue
+            lcs = np.asarray(
+                [_lc_class(int(v), L) for v in lneed[idx]], np.int64
+            )
+            grid = sorted({int(v) for v in lcs})
+            cnt = {g: int((lcs == g).sum()) for g in grid}
+            # fold sparse length classes upward (same floor rule), then
+            # cap at 3 classes per width bucket by folding the smallest
+            lfloor = max(64, idx.size // 10)
+            for j, g in enumerate(grid[:-1]):
+                if 0 < cnt[g] < lfloor:
+                    nxt = grid[j + 1]
+                    lcs[lcs == g] = nxt
+                    cnt[nxt] += cnt[g]
+                    cnt[g] = 0
+            livel = [g for g in grid if cnt[g] > 0]
+            while len(livel) > 3:
+                # fold the least-populated class into the next above
+                # (the largest class absorbs if it was the top)
+                j = min(range(len(livel) - 1), key=lambda k: cnt[livel[k]])
+                g, nxt = livel[j], livel[j + 1]
+                lcs[lcs == g] = nxt
+                cnt[nxt] += cnt[g]
+                livel.pop(j)
+            for g in sorted(livel, reverse=True):
+                out.append((int(lv[i]), int(g), idx[lcs == g]))
+        if len(out) < 2:
+            return None
+        return out
 
     @staticmethod
     def _prelim_part(d, K):

@@ -385,7 +385,7 @@ def test_width_bucketed_stage1_matches_single_dispatch(monkeypatch):
     monkeypatch.setenv("SAGE_TPU_FUSED", "0")
     s1 = Scorer(db, wide)
     rows = s1._expand_rows(spectra)
-    buckets = s1._width_buckets(
+    buckets = s1._row_buckets(
         rows, rows["si"].size,
         int(2 ** np.ceil(np.log2(max(int((rows["i1"] - rows["i0"]).max()), 8))))
     )
@@ -464,3 +464,30 @@ def test_openms_score_type_end_to_end(golden_setup):
     assert float(t.columns["hyperscore"][0]) < float(
         t_sage.columns["hyperscore"][0]
     )
+
+
+def test_longest_run_vec_matches_scan_automaton():
+    """The vectorized single-series Run computation must agree with the
+    reference automaton (scoring.rs:771-793) on every match pattern —
+    exhaustively for short ladders, randomized for long ones."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from sage_tpu.ops.search import longest_run_scan, longest_run_vec
+
+    def check(flags):
+        L = len(flags)
+        idx = np.arange(L, dtype=np.int32)
+        f = np.asarray(flags, dtype=bool)
+        got = int(longest_run_vec(jnp.asarray(f), jnp.asarray(idx)))
+        want = int(longest_run_scan((jnp.asarray(f), jnp.asarray(idx))))
+        assert got == want, (flags, got, want)
+
+    for L in (1, 2, 3, 4, 5, 6):
+        for bits in itertools.product([False, True], repeat=L):
+            check(list(bits))
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        L = int(rng.integers(7, 64))
+        check(rng.random(L) < rng.uniform(0.05, 0.95))
