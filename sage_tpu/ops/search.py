@@ -413,6 +413,131 @@ def longest_run_vec(flags, ion_idx):
     return jnp.max(jnp.where(m1, ion_idx - prev_nf, 0))
 
 
+def pipeline_stream(batches, admit, advance, finish):
+    """Generic pipelined batch driver shared by the single-device and
+    sharded scorers (the TPU equivalent of the reference's rayon
+    pipeline over spectra, runner.rs:311-324).
+
+    Three phases per batch: ``admit`` (host prep + async device
+    dispatch), ``advance`` (the blocking device fetch, plus any follow-up
+    dispatch), ``finish`` (host finalize -> FeatureTable). JAX dispatch
+    is asynchronous, so keeping up to two batches in flight overlaps
+    batch i's fetch/host work with the device's execution of batch i+1.
+    Yields one FeatureTable per input batch, in order; empty input
+    batches yield empty tables.
+
+    The threaded mode (default on >= 4-core hosts; the worker runs
+    ``advance`` while the feeder admits and the consumer finishes)
+    overlaps the blocking fetch round trips with host compute —
+    device_get releases the GIL. On single-core hosts the thread
+    contends with the main thread's numpy work and loses ~40%, so the
+    fallback is a sliding dispatch window on one thread."""
+    import os
+
+    from .features import FeatureTable
+
+    threads_default = "1" if (os.cpu_count() or 1) >= 4 else "0"
+    if os.environ.get("SAGE_TPU_STREAM_THREADS", threads_default) != "0":
+        import queue as _q
+        from concurrent.futures import ThreadPoolExecutor
+
+        q1: "_q.Queue" = _q.Queue(maxsize=2)
+        # q2 unbounded so the worker can never block on put (in-flight
+        # work is bounded by q1's maxsize); a blocked worker would
+        # deadlock executor shutdown if the consumer exits early.
+        q2: "_q.Queue" = _q.Queue()
+        _END = object()
+
+        def worker_advance():
+            while True:
+                e = q1.get()
+                if e is _END:
+                    q2.put(_END)
+                    return
+                try:
+                    q2.put(e if e.get("empty") else advance(e))
+                except BaseException as exc:  # propagate to consumer
+                    q2.put(exc)
+                    q2.put(_END)  # so the consumer's drain terminates
+                    return
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            ex.submit(worker_advance)
+            it = iter(batches)
+            done_feeding = False
+            try:
+                while True:
+                    # feed admits until q1 is full or input exhausted
+                    while not done_feeding and not q1.full():
+                        try:
+                            batch = next(it)
+                        except StopIteration:
+                            done_feeding = True
+                            q1.put(_END)
+                            break
+                        q1.put(
+                            {"empty": True} if not batch else admit(batch)
+                        )
+                    e = q2.get()
+                    if e is _END:
+                        break
+                    if isinstance(e, BaseException):
+                        raise e
+                    yield FeatureTable.empty() if e.get("empty") else finish(e)
+            finally:
+                # On ANY early exit (consumer exception, GeneratorExit
+                # from an abandoned generator) the worker must be
+                # released or executor shutdown hangs. The worker posts
+                # _END after normal completion AND after posting an
+                # exception, so draining q2 always terminates; q1 may
+                # be full with a dead worker, hence put_nowait retries
+                # interleaved with q2 drains.
+                if not done_feeding:
+                    done_feeding = True
+                    ended = False
+                    while True:
+                        try:
+                            q1.put_nowait(_END)
+                            break
+                        except _q.Full:
+                            try:
+                                if q2.get(timeout=0.2) is _END:
+                                    ended = True
+                                    break
+                            except _q.Empty:
+                                continue
+                    while not ended:
+                        if q2.get() is _END:
+                            ended = True
+        return
+
+    # single-threaded fallback: sliding window of depth A. Empty
+    # batches flow through `pend` as markers so results stay in
+    # 1:1 input order.
+    from collections import deque
+
+    def finish_any(e):
+        return FeatureTable.empty() if e.get("empty") else finish(e)
+
+    def advance_once(e):
+        if not e.get("empty") and not e.get("_advanced"):
+            e["_advanced"] = True
+            advance(e)
+
+    pend = deque()
+    A = int(os.environ.get("SAGE_TPU_PIPELINE_DEPTH", "2"))
+    for batch in batches:
+        pend.append({"empty": True} if not batch else admit(batch))
+        if len(pend) >= A + 1:
+            advance_once(pend[-(A + 1)])  # oldest un-advanced entry
+        if len(pend) >= A + 2:
+            yield finish_any(pend.popleft())
+    for e in pend:
+        advance_once(e)
+    while pend:
+        yield finish_any(pend.popleft())
+
+
 def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
     """Per-candidate matched-peak counts via the rank-difference trick.
 
@@ -1134,109 +1259,7 @@ class Scorer:
                 None, e["masses"], e["Pk"],
             )
 
-        # Threaded pipeline is opt-in: it overlaps the two blocking fetch
-        # round trips across batches (device_get releases the GIL), which
-        # wins on multi-core hosts behind high-latency links, but on a
-        # single-core host the worker thread contends with the main
-        # thread's numpy work and loses ~40%.
-        threads_default = "1" if (os.cpu_count() or 1) >= 4 else "0"
-        if os.environ.get("SAGE_TPU_STREAM_THREADS", threads_default) != "0":
-            import queue as _q
-            from concurrent.futures import ThreadPoolExecutor
-
-            q1: "_q.Queue" = _q.Queue(maxsize=2)
-            # q2 unbounded so the worker can never block on put (in-flight
-            # work is bounded by q1's maxsize); a blocked worker would
-            # deadlock executor shutdown if the consumer exits early.
-            q2: "_q.Queue" = _q.Queue()
-            _END = object()
-
-            def worker_advance():
-                while True:
-                    e = q1.get()
-                    if e is _END:
-                        q2.put(_END)
-                        return
-                    try:
-                        q2.put(e if e.get("empty") else advance(e))
-                    except BaseException as exc:  # propagate to consumer
-                        q2.put(exc)
-                        q2.put(_END)  # so the consumer's drain terminates
-                        return
-
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                ex.submit(worker_advance)
-                it = iter(batches)
-                done_feeding = False
-                try:
-                    while True:
-                        # feed admits until q1 is full or input exhausted
-                        while not done_feeding and not q1.full():
-                            try:
-                                batch = next(it)
-                            except StopIteration:
-                                done_feeding = True
-                                q1.put(_END)
-                                break
-                            q1.put(
-                                {"empty": True} if not batch else admit(batch)
-                            )
-                        e = q2.get()
-                        if e is _END:
-                            break
-                        if isinstance(e, BaseException):
-                            raise e
-                        yield FeatureTable.empty() if e.get("empty") else finish(e)
-                finally:
-                    # On ANY early exit (consumer exception, GeneratorExit
-                    # from an abandoned generator) the worker must be
-                    # released or executor shutdown hangs. The worker posts
-                    # _END after normal completion AND after posting an
-                    # exception, so draining q2 always terminates; q1 may
-                    # be full with a dead worker, hence put_nowait retries
-                    # interleaved with q2 drains.
-                    if not done_feeding:
-                        done_feeding = True
-                        ended = False
-                        while True:
-                            try:
-                                q1.put_nowait(_END)
-                                break
-                            except _q.Full:
-                                try:
-                                    if q2.get(timeout=0.2) is _END:
-                                        ended = True
-                                        break
-                                except _q.Empty:
-                                    continue
-                        while not ended:
-                            if q2.get() is _END:
-                                ended = True
-            return
-
-        # single-threaded fallback: sliding window of depth A. Empty
-        # batches flow through `pend` as markers so results stay in
-        # 1:1 input order.
-        from collections import deque
-
-        def finish_any(e):
-            return FeatureTable.empty() if e.get("empty") else finish(e)
-
-        pend = deque()
-        A = int(os.environ.get("SAGE_TPU_PIPELINE_DEPTH", "2"))
-        for batch in batches:
-            pend.append({"empty": True} if not batch else admit(batch))
-            if len(pend) >= A + 1:
-                e = pend[-(A + 1)]  # oldest un-advanced entry
-                if not e.get("empty"):
-                    advance(e)
-            if len(pend) >= A + 2:
-                yield finish_any(pend.popleft())
-        for e in pend:
-            if not e.get("empty") and e["d2"] is None:
-                advance(e)
-        while pend:
-            yield finish_any(pend.popleft())
+        yield from pipeline_stream(batches, admit, advance, finish)
 
     def _preliminary(self, spectra, masses=None, peaks_dev=None):
         return self._prelim_finalize(
@@ -2081,68 +2104,16 @@ class Scorer:
     # ------------------------------------------------------------------
 
     def _score_chimera(self, spectra) -> FeatureTable:
-        p = self.params
         prelim = self._preliminary(spectra)
         masses, intens, Pk = self._pad_peaks(spectra)
-        removed = np.zeros_like(intens, dtype=bool)
-        tic = np.array([s.total_ion_current for s in spectra], dtype=np.float32)
-        rounds: List[FeatureTable] = []
-        n_hits = np.zeros(len(spectra), dtype=np.int32)
-        active = set(range(len(spectra)))
-        for _ in range(p.report_psms):
-            if not active:
-                break
-            t = self._features_table(
+
+        def features_table(removed, tic):
+            return self._features_table(
                 spectra, prelim, masses, intens, Pk, 1,
                 removed_masks=removed, tic_override=tic,
             )
-            keep_rows = []
-            newly = set()
-            for i in range(len(t)):
-                si = int(t.columns["spec_idx"][i])
-                if si not in active:
-                    continue
-                keep_rows.append(i)
-                n_hits[si] += 1
-                t.columns["rank"][i] = n_hits[si]
-                newly.add(si)
-                self._remove_matched(
-                    si,
-                    int(t.columns["peptide_idx"][i]),
-                    int(t.columns["charge"][i]),
-                    masses,
-                    intens,
-                    removed,
-                )
-                tic[si] = seq_f32_sum_rows(
-                    np.where(
-                        removed[si],
-                        0.0,
-                        np.where(np.isfinite(masses[si]), intens[si], 0.0),
-                    )[None, :],
-                    np.array([intens.shape[1]], dtype=np.int32),
-                )[0]
-            if not keep_rows:
-                break
-            rounds.append(t.select(np.asarray(keep_rows, dtype=np.int64)))
-            active = {si for si in newly if n_hits[si] < p.report_psms}
-        if not rounds:
-            out = FeatureTable.empty()
-            out.spec_ids = [s.id for s in spectra]
-            return out
-        # All rounds share the same spec_ids list; concat would re-base
-        # spec_idx, so merge manually.
-        merged = FeatureTable.empty(sum(len(t) for t in rounds))
-        off = 0
-        for t in rounds:
-            n = len(t)
-            for k in merged.columns:
-                merged.columns[k][off : off + n] = t.columns[k]
-            merged.protein_groups[off : off + n] = t.protein_groups
-            merged.fragments[off : off + n] = t.fragments
-            off += n
-        merged.spec_ids = rounds[0].spec_ids
-        return merged
+
+        return chimera_rounds(self, spectra, masses, intens, features_table)
 
     def _remove_matched(self, si, pep_i, charge, masses, intens, removed):
         """scoring.rs:598-644: mark peaks matched by the PSM's complete
@@ -2168,6 +2139,77 @@ class Scorer:
         for j0, gi in enumerate(vidx):
             if (float(vm[j0]), float(vi[j0])) in to_remove:
                 removed[si][gi] = True
+
+
+def chimera_rounds(host, spectra, masses, intens, features_table):
+    """Shared chimera round loop (scoring.rs:598-672), generic over HOW
+    one round's features are produced: ``features_table(removed, tic)``
+    returns the round's FeatureTable (single-device stage-2 re-dispatch
+    or a mesh rescore — the sharded scorer passes its own). ``host``
+    supplies params and the exact host-side peak-removal semantics
+    (`_remove_matched`). Each round keeps the best new PSM per still-
+    active spectrum, removes its matched peaks, recomputes the TIC with
+    the reference's sequential-f32 sum, and re-runs until report_psms
+    rounds or no spectrum yields a new hit."""
+    from .features import FeatureTable
+
+    p = host.params
+    removed = np.zeros_like(intens, dtype=bool)
+    tic = np.array([s.total_ion_current for s in spectra], dtype=np.float32)
+    rounds: List[FeatureTable] = []
+    n_hits = np.zeros(len(spectra), dtype=np.int32)
+    active = set(range(len(spectra)))
+    for _ in range(p.report_psms):
+        if not active:
+            break
+        t = features_table(removed, tic)
+        keep_rows = []
+        newly = set()
+        for i in range(len(t)):
+            si = int(t.columns["spec_idx"][i])
+            if si not in active:
+                continue
+            keep_rows.append(i)
+            n_hits[si] += 1
+            t.columns["rank"][i] = n_hits[si]
+            newly.add(si)
+            host._remove_matched(
+                si,
+                int(t.columns["peptide_idx"][i]),
+                int(t.columns["charge"][i]),
+                masses,
+                intens,
+                removed,
+            )
+            tic[si] = seq_f32_sum_rows(
+                np.where(
+                    removed[si],
+                    0.0,
+                    np.where(np.isfinite(masses[si]), intens[si], 0.0),
+                )[None, :],
+                np.array([intens.shape[1]], dtype=np.int32),
+            )[0]
+        if not keep_rows:
+            break
+        rounds.append(t.select(np.asarray(keep_rows, dtype=np.int64)))
+        active = {si for si in newly if n_hits[si] < p.report_psms}
+    if not rounds:
+        out = FeatureTable.empty()
+        out.spec_ids = [s.id for s in spectra]
+        return out
+    # All rounds share the same spec_ids list; concat would re-base
+    # spec_idx, so merge manually.
+    merged = FeatureTable.empty(sum(len(t) for t in rounds))
+    off = 0
+    for t in rounds:
+        n = len(t)
+        for k in merged.columns:
+            merged.columns[k][off : off + n] = t.columns[k]
+        merged.protein_groups[off : off + n] = t.protein_groups
+        merged.fragments[off : off + n] = t.fragments
+        off += n
+    merged.spec_ids = rounds[0].spec_ids
+    return merged
 
 
 def _host_ladders(db: IndexedDatabase, pep_indices, series) -> Tuple[np.ndarray, np.ndarray]:

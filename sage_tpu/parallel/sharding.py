@@ -540,21 +540,55 @@ class ShardedSearch:
         are [i0, i1) peptide-INDEX ranges (i32 [R]), W the static pow2
         window width (>= every i1-i0). Same outputs and budget-growth
         contract as full_step."""
+        return self.step_result(
+            self.windowed_dispatch(peaks, intens, i0, i1, maxz, W)
+        )
+
+    def windowed_dispatch(self, peaks, intens, i0, i1, maxz, W: int):
+        """Async half of :meth:`windowed_step`: dispatches at the
+        learned stage-2 budget and returns a handle dict WITHOUT
+        fetching, so a stream driver can overlap this batch's device
+        execution with the previous batch's host finalize. Pass to
+        :meth:`step_result` to fetch + budget-check."""
+        R, Pk = peaks.shape
+        key = ("bc_win", R, Pk)
+        Bc = self._fn_cache.get(key, self._initial_bc(R))
+        fkey = ("win", R, Pk, W, Bc)
+        if fkey not in self._fn_cache:
+            self._fn_cache[fkey] = self._build_windowed(R, Pk, W, Bc)
+        out = self._fn_cache[fkey](peaks, intens, i0, i1, maxz)
+        return {
+            "out": out, "Bc": Bc, "bc_key": key, "kind": ("win", W),
+            "args": (peaks, intens, i0, i1, maxz),
+        }
+
+    def step_result(self, d):
+        """Fetch a dispatched step's budget signal and redo at a larger
+        stage-2 budget if any shard's live candidates were clipped
+        (rare; the learned per-shape budget converges after the first
+        overflow). Returns the 11 result arrays."""
+        peaks = d["args"][0]
         R, Pk = peaks.shape
         n_data = self.mesh.shape["data"]
         cap = (R // n_data) * self.K
-        key = ("bc_win", R, Pk)
-        Bc = self._fn_cache.get(key, self._initial_bc(R))
+        out, Bc = d["out"], d["Bc"]
         while True:
-            fkey = ("win", R, Pk, W, Bc)
-            if fkey not in self._fn_cache:
-                self._fn_cache[fkey] = self._build_windowed(R, Pk, W, Bc)
-            out = self._fn_cache[fkey](peaks, intens, i0, i1, maxz)
             n_live = int(np.max(np.asarray(out[11])))
             if n_live <= Bc or Bc >= cap:
-                self._fn_cache[key] = Bc
+                self._fn_cache[d["bc_key"]] = Bc
                 return out[:11]
             Bc = min(next_power_of_two(max(n_live, Bc * 2)), cap)
+            if d["kind"][0] == "win":
+                fkey = ("win", R, Pk, d["kind"][1], Bc)
+                if fkey not in self._fn_cache:
+                    self._fn_cache[fkey] = self._build_windowed(
+                        R, Pk, d["kind"][1], Bc
+                    )
+            else:
+                fkey = ("full", R, Pk, Bc)
+                if fkey not in self._fn_cache:
+                    self._fn_cache[fkey] = self._build_full(R, Pk, Bc)
+            out = self._fn_cache[fkey](*d["args"])
 
     def _initial_bc(self, R: int) -> int:
         """Starting per-shard stage-2 item budget: ~8 live candidates per
@@ -572,24 +606,126 @@ class ShardedSearch:
         longest_y — each f32 [R, K] — plus matched_total [R] and
         scored_candidates [R]). Grows the per-shape stage-2 budget and
         re-dispatches when a shard's live candidates exceeded it."""
+        return self.step_result(
+            self.full_dispatch(peaks, intens, prec_lo, prec_hi, maxz)
+        )
+
+    def full_dispatch(self, peaks, intens, prec_lo, prec_hi, maxz):
+        """Async half of :meth:`full_step` (see windowed_dispatch)."""
         R, Pk = peaks.shape
-        n_data = self.mesh.shape["data"]
-        cap = (R // n_data) * self.K
         # budget learned per regime: the whole-table scan's live-candidate
         # profile is far heavier than the windowed path's, so sharing one
         # learned Bc would force overflow redos and oversized compiles
         key = ("bc_full", R, Pk)
         Bc = self._fn_cache.get(key, self._initial_bc(R))
-        while True:
-            fkey = ("full", R, Pk, Bc)
-            if fkey not in self._fn_cache:
-                self._fn_cache[fkey] = self._build_full(R, Pk, Bc)
-            out = self._fn_cache[fkey](peaks, intens, prec_lo, prec_hi, maxz)
-            n_live = int(np.max(np.asarray(out[11])))
-            if n_live <= Bc or Bc >= cap:
-                self._fn_cache[key] = Bc
-                return out[:11]
-            Bc = min(next_power_of_two(max(n_live, Bc * 2)), cap)
+        fkey = ("full", R, Pk, Bc)
+        if fkey not in self._fn_cache:
+            self._fn_cache[fkey] = self._build_full(R, Pk, Bc)
+        out = self._fn_cache[fkey](peaks, intens, prec_lo, prec_hi, maxz)
+        return {
+            "out": out, "Bc": Bc, "bc_key": key, "kind": ("full",),
+            "args": (peaks, intens, prec_lo, prec_hi, maxz),
+        }
+
+    # ------------------------------------------------------------------
+    # Candidate-list rescore (chimera rounds)
+    # ------------------------------------------------------------------
+
+    def _build_rescore(self, C: int, Pk: int):
+        """Owner-computes rescore of an explicit candidate list — the
+        mesh analog of the single-device stage-2-only dispatch that
+        chimera rounds re-run with masked peaks (scoring.rs:598-672).
+        Candidates are sharded over "data" (each row carries its own
+        peak copy, so no spectrum grouping is needed); each model shard
+        rescores the candidates whose peptide rows it owns and a psum
+        assembles the full [C, 7] feature pack — bit-identical to the
+        single-device rescore for any mesh shape."""
+        from ..ops.search import rescore_candidate
+
+        mesh = self.mesh
+        series = self.series
+        frag_tol = self.frag_tol
+        Z = self.Z
+        tables = self.tables
+        L = tables.L
+        n_model = mesh.shape["model"]
+        n_data = mesh.shape["data"]
+        P_local = tables.P_pad // n_model
+        C_l = C // n_data
+
+        def local_shard(peaks, intens, pep, maxz, resmass, nterm, mono, lens):
+            shard_id = jax.lax.axis_index("model")
+            base = shard_id.astype(jnp.int32) * P_local
+            ion_idx = jnp.arange(L, dtype=jnp.int32)
+
+            def item(pk, ii, pg, mz):
+                owned = (pg >= base) & (pg < base + P_local)
+                lpp = jnp.clip(pg - base, 0, P_local - 1)
+                f = ion_ladders(
+                    resmass[lpp][None, :], nterm[lpp][None],
+                    mono[lpp][None], series,
+                )[:, 0, :]
+                n_ions = jnp.maximum(lens[lpp] - 1, 0)
+                fvalid = jnp.broadcast_to(
+                    ion_idx[None, :] < n_ions, (len(series), L)
+                )
+                out = rescore_candidate(
+                    f, fvalid, pk, ii, mz,
+                    series=series, frag_tol=frag_tol, Z=Z,
+                )
+                return tuple(
+                    jnp.where(owned, o.astype(jnp.float32), np.float32(0.0))
+                    for o in out
+                )
+
+            CH = 32
+            pk_c = peaks.reshape(-1, CH, peaks.shape[1])
+            ii_c = intens.reshape(-1, CH, intens.shape[1])
+            pep_c = pep.reshape(-1, CH)
+            mz_c = maxz.reshape(-1, CH)
+
+            def chunk(carry, x):
+                pk, ii, pg, mz = x
+                return carry, jax.vmap(item)(pk, ii, pg, mz)
+
+            _, outs = jax.lax.scan(chunk, 0, (pk_c, ii_c, pep_c, mz_c))
+            packed = jnp.stack(
+                [jnp.asarray(o).reshape(-1) for o in outs], axis=1
+            )  # [C_l, 7]
+            return jax.lax.psum(packed, "model")
+
+        fn = shard_map(
+            local_shard,
+            mesh=mesh,
+            in_specs=(
+                P("data", None), P("data", None), P("data"), P("data"),
+                P("model", None), P("model"), P("model"), P("model"),
+            ),
+            out_specs=P("data", None),
+            check_vma=False,
+        )
+        jitted = jax.jit(fn)
+
+        def run(peaks, intens, pep, maxz):
+            t = self.tables
+            return jitted(
+                peaks, intens, pep, maxz,
+                t.resmass, t.nterm, t.mono, t.lens,
+            )
+
+        return run
+
+    def rescore(self, peaks, intens, pep, maxz):
+        """Rescore an explicit candidate list on the mesh: peaks/intens
+        f32 [C, Pk] per candidate, pep i32 [C] global peptide index (-1
+        for padding), maxz i32 [C]. C must be divisible by (data axis x
+        32). Returns packed f32 [C, 7] (mb, my, summed_b, summed_y,
+        ppm_sum, longest_b, longest_y)."""
+        C, Pk = peaks.shape
+        key = ("rescore", C, Pk)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build_rescore(C, Pk)
+        return self._fn_cache[key](peaks, intens, pep, maxz)
 
 
 class ShardedScorer:
@@ -625,19 +761,39 @@ class ShardedScorer:
         return self.score_table(spectra).to_features()
 
     def score_stream(self, batches):
-        """Drop-in for Scorer.score_stream: yield one FeatureTable per
-        batch. Each full_step is a single device dispatch; the host
-        finalize of batch N overlaps the mesh's work on batch N+1 only
-        via XLA's async dispatch (no host pipelining yet)."""
-        for batch in batches:
-            yield self.score_table(batch)
+        """Drop-in for Scorer.score_stream: pipelined like the
+        single-device stream (same shared driver) — the host finalize
+        of batch N overlaps the mesh's execution of batch N+1, so the
+        meshed stream's wall-clock tracks max(device, host) rather than
+        their sum (runner.rs:311-324 is the bar: search must saturate
+        the execution engine)."""
+        from ..ops.search import pipeline_stream
+
+        if self.params.chimera:
+            # chimera rounds are data-dependent re-dispatches; stream
+            # them unpipelined like the single-device path
+            from ..ops.features import FeatureTable
+
+            for batch in batches:
+                yield self.score_table(batch) if batch \
+                    else FeatureTable.empty()
+            return
+        yield from pipeline_stream(
+            batches, self._dispatch, self._advance, self._finalize
+        )
 
     def score_table(self, spectra):
         from ..ops.features import FeatureTable
 
-        h = self._host
         if not spectra:
             return FeatureTable.empty()
+        if self.params.chimera:
+            return self._score_chimera(spectra)
+        return self._finalize(self._advance(self._dispatch(spectra)))
+
+    def _dispatch(self, spectra):
+        """Host prep + async mesh dispatch for one batch (no fetch)."""
+        h = self._host
         masses, intens, Pk = h._pad_peaks(spectra)
         rows = h._expand_rows(spectra)
         n_rows = rows["si"].size
@@ -670,7 +826,7 @@ class ShardedScorer:
             i1 = np.zeros(R, np.int32)  # empty window for padding rows
             i0[:n_rows] = rows["i0"]
             i1[:n_rows] = rows["i1"]
-            out = self.search.windowed_step(
+            d = self.search.windowed_dispatch(
                 peaks_r, intens_r, i0, i1, maxz, W
             )
         else:
@@ -692,32 +848,54 @@ class ShardedScorer:
             empty = rows["i1"] <= rows["i0"]
             lo[:n_rows][empty] = np.float32(np.inf)
             hi[:n_rows][empty] = np.float32(-np.inf)
-            out = self.search.full_step(peaks_r, intens_r, lo, hi, maxz)
-        counts, pep = (np.asarray(x) for x in out[:2])
-        feats = [np.asarray(x) for x in out[2:9]]
-        row_mtot = np.asarray(out[9])
-        row_scored = np.asarray(out[10])
+            d = self.search.full_dispatch(peaks_r, intens_r, lo, hi, maxz)
+        return {
+            "spectra": spectra, "masses": masses, "intens": intens,
+            "Pk": Pk, "rows": rows, "n_rows": n_rows, "n_spec": n_spec,
+            "d": d,
+        }
 
-        # flatten (row, k), drop zero-matched, host-merge with the shared
-        # PreScore-ordering helper (one tie-rule definition for both the
-        # single-device and sharded paths)
+    def _advance(self, e):
+        """Blocking fetch (+ rare budget redo) of a dispatched batch."""
+        out = self.search.step_result(e["d"])
+        e["counts"], e["pep"] = (np.asarray(x) for x in out[:2])
+        e["feats"] = [np.asarray(x) for x in out[2:9]]
+        e["row_mtot"] = np.asarray(out[9])
+        e["row_scored"] = np.asarray(out[10])
+        return e
+
+    def _finalize(self, e):
+        prelim, packed = self._merge_prelim(e)
+        d2 = {"out_dev": packed, "nI": prelim["cand_spec"].size,
+              "use_int": e["intens"]}
+        return self._host._stage2_finalize(
+            e["spectra"], prelim, d2, self.params.report_psms, None,
+            e["masses"], e["Pk"],
+        )
+
+    def _merge_prelim(self, e):
+        """Host merge of the fetched [R, K] grids: flatten (row, k),
+        drop zero-matched, PreScore-order with the shared helper (one
+        tie-rule definition for both the single-device and sharded
+        paths). Returns (prelim dict, packed [N, 7] f32 features)."""
         from ..ops.search import merge_prescore_candidates
 
-        K = h.K
-        m = counts[:n_rows].ravel()
-        pp = pep[:n_rows].ravel()
+        rows, n_rows, n_spec = e["rows"], e["n_rows"], e["n_spec"]
+        K = self._host.K
+        m = e["counts"][:n_rows].ravel()
+        pp = e["pep"][:n_rows].ravel()
         ss = np.repeat(rows["si"], K)
         zz = np.repeat(rows["z"], K)
         ii = np.repeat(rows["iso"], K)
-        fcols = [f[:n_rows].reshape(-1) for f in feats]
+        fcols = [f[:n_rows].reshape(-1) for f in e["feats"]]
         sel = merge_prescore_candidates(m, pp, ss, zz, ii, K)
         ssel = ss[sel]
 
         spec_matched = np.bincount(
-            rows["si"], weights=row_mtot[:n_rows], minlength=n_spec
+            rows["si"], weights=e["row_mtot"][:n_rows], minlength=n_spec
         ).astype(np.int64)
         spec_scored = np.bincount(
-            rows["si"], weights=row_scored[:n_rows], minlength=n_spec
+            rows["si"], weights=e["row_scored"][:n_rows], minlength=n_spec
         ).astype(np.int64)
         prelim = {
             "cand_matched": m[sel].astype(np.int32),
@@ -729,7 +907,70 @@ class ShardedScorer:
             "spec_scored": spec_scored,
         }
         packed = np.stack([c[sel].astype(np.float32) for c in fcols], axis=1)
-        d2 = {"out_dev": packed, "nI": sel.size, "use_int": intens}
-        return h._stage2_finalize(
-            spectra, prelim, d2, self.params.report_psms, None, masses, Pk
-        )
+        return prelim, packed
+
+    # ------------------------------------------------------------------
+    # Chimera mode on the mesh (scoring.rs:598-672)
+    # ------------------------------------------------------------------
+
+    def _score_chimera(self, spectra):
+        """Chimera = iterative re-search with peak removal. The
+        preliminary candidate set is computed once by the ordinary
+        sharded step; every round's full rescore of that set with the
+        masked peaks is an ordinary mesh rescore (`ShardedSearch
+        .rescore`, owner-computes + psum), so results are byte-identical
+        to the single-device chimera for any mesh shape. The round
+        bookkeeping (peak removal, TIC recompute, rank assembly) is the
+        single-device host logic, shared via `chimera_rounds`."""
+        from ..ops.search import chimera_rounds
+
+        h = self._host
+        e = self._advance(self._dispatch(spectra))
+        prelim, packed0 = self._merge_prelim(e)
+        masses, intens, Pk = e["masses"], e["intens"], e["Pk"]
+
+        def features_table(removed, tic):
+            if not removed.any():
+                # round 0: the fused step's features ARE the unmasked
+                # rescore — reuse instead of re-dispatching
+                packed = packed0
+            else:
+                use_int = np.where(removed, -1.0, intens).astype(np.float32)
+                packed = self._rescore_candidates(
+                    prelim, masses, use_int, Pk
+                )
+            d2 = {
+                "out_dev": packed, "nI": prelim["cand_spec"].size,
+                "use_int": (
+                    np.where(removed, -1.0, intens).astype(np.float32)
+                    if removed.any() else intens
+                ),
+            }
+            return h._stage2_finalize(
+                spectra, prelim, d2, 1, tic, masses, Pk
+            )
+
+        return chimera_rounds(h, spectra, masses, intens, features_table)
+
+    def _rescore_candidates(self, prelim, masses, use_int, Pk):
+        """Mesh rescore of prelim's candidate list with (masked) peak
+        intensities; returns packed f32 [nI, 7]."""
+        spec_i = prelim["cand_spec"]
+        pep_i = prelim["cand_pep"]
+        chg = prelim["cand_charge"]
+        nI = spec_i.size
+        grain = self._n_data * 32  # data shards x rescore scan chunk
+        C = max(next_power_of_two(max(nI, 1)), grain)
+        C = ((C + grain - 1) // grain) * grain
+        peaks_c = np.full((C, Pk), np.inf, np.float32)
+        intens_c = np.full((C, Pk), -1.0, np.float32)
+        pep_c = np.full(C, -1, np.int32)
+        maxz_c = np.full(C, 2, np.int32)
+        peaks_c[:nI] = masses[spec_i]
+        intens_c[:nI] = use_int[spec_i]
+        pep_c[:nI] = pep_i
+        cfg = self.params.max_fragment_charge
+        cap = np.minimum(chg, cfg + 1) if cfg is not None else chg
+        maxz_c[:nI] = np.minimum(np.maximum(cap, 2), self._host.Z + 1)
+        out = self.search.rescore(peaks_c, intens_c, pep_c, maxz_c)
+        return np.asarray(out)[:nI]

@@ -297,12 +297,6 @@ class Runner:
             shape = (n_dev, 1)
         if shape is None or shape[0] * shape[1] <= 1:
             return Scorer(self.database, self.search_params())
-        if p.chimera or p.annotate_matches:
-            log.warning(
-                "multi-chip search does not yet cover chimera/"
-                "annotate_matches; using the single-device scorer"
-            )
-            return Scorer(self.database, self.search_params())
         from ..parallel.sharding import ShardedScorer, make_mesh
 
         log.info(

@@ -35,7 +35,7 @@ CONFIG = {
 }
 
 
-def _run(outdir, mesh_env, monkeypatch, mesh_shape=None):
+def _run(outdir, mesh_env, monkeypatch, mesh_shape=None, extra=None):
     from sage_tpu.pipeline.input import build_search
     from sage_tpu.pipeline.runner import Runner
 
@@ -43,7 +43,7 @@ def _run(outdir, mesh_env, monkeypatch, mesh_shape=None):
         monkeypatch.delenv("SAGE_TPU_MESH", raising=False)
     else:
         monkeypatch.setenv("SAGE_TPU_MESH", mesh_env)
-    cfg = dict(CONFIG)
+    cfg = dict(CONFIG, **(extra or {}))
     search = build_search(
         cfg, output_directory=str(outdir), mesh_shape=mesh_shape
     )
@@ -53,23 +53,40 @@ def _run(outdir, mesh_env, monkeypatch, mesh_shape=None):
 
 
 @pytest.mark.parametrize("shape", ["8,1", "4,2"])
-def test_runner_mesh_matches_single_device(tmp_path, monkeypatch, shape):
+@pytest.mark.parametrize("mode", ["standard", "chimera", "annotate"])
+def test_runner_mesh_matches_single_device(tmp_path, monkeypatch, shape,
+                                           mode):
     import jax
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    single = _run(tmp_path / "single", "1,1", monkeypatch)
+    extra = {}
+    if mode == "chimera":
+        extra = {"chimera": True, "report_psms": 2}
+    elif mode == "annotate":
+        extra = {"annotate_matches": True}
+    single = _run(tmp_path / "single", "1,1", monkeypatch, extra=extra)
     meshed = _run(tmp_path / f"mesh{shape.replace(',', 'x')}", shape,
-                  monkeypatch)
+                  monkeypatch, extra=extra)
     # Full byte equality INCLUDING psm_id: the Runner renumbers PSMs in
     # deterministic global (file, batch, row) order after the merge
     # (runner.py), so the mesh shape cannot leak into any column.
     assert single == meshed
+    if mode == "annotate":
+        # the mesh run must actually produce fragment annotations,
+        # byte-equal to the single-device ones
+        def frags(d):
+            with open(d / "matched_fragments.sage.tsv", "rb") as f:
+                return f.read()
+
+        fs = frags(tmp_path / "single")
+        assert fs == frags(tmp_path / f"mesh{shape.replace(',', 'x')}")
+        assert len(fs.splitlines()) > 1
 
 
 def test_runner_uses_sharded_scorer_on_multidevice(monkeypatch, tmp_path):
     """_make_scorer returns a ShardedScorer when the mesh is >1 device
-    and falls back to the single-device Scorer for chimera runs."""
+    — including for chimera runs (no single-device fallback)."""
     import jax
 
     if len(jax.devices()) < 2:
@@ -86,7 +103,7 @@ def test_runner_uses_sharded_scorer_on_multidevice(monkeypatch, tmp_path):
     assert isinstance(r._make_scorer(), ShardedScorer)
 
     search.chimera = True
-    assert isinstance(r._make_scorer(), Scorer)
+    assert isinstance(r._make_scorer(), ShardedScorer)
     search.chimera = False
 
     # config mesh_shape flows through when the env var is unset
