@@ -719,6 +719,7 @@ class Scorer:
         self.K = max(50, params.report_psms * 2)
         self._stage1_cache: Dict[Tuple[int, int, int], object] = {}
         self._stage2_cache: Dict[Tuple[int, int], object] = {}
+        self._plan_sticky: Dict[Tuple[int, int], tuple] = {}
         self._psm_counter = 1
 
     # ------------------------------------------------------------------
@@ -1270,60 +1271,125 @@ class Scorer:
     # Fused single-dispatch path (stage 1 + merge + stage 2 on device)
     # ------------------------------------------------------------------
 
-    def _build_fused(self, W, Pk, S_pad, G_rows, Zb, Bc):
-        """One device program covering the whole per-batch search: stage-1
-        window counts, the per-spectrum PreScore merge (4-key sort by
-        matched/peptide/charge/isotope desc — scoring.rs:43-49 +
-        trim_hits), compaction of the matched>0 candidates, and the full
-        stage-2 rescore. On links where every blocking fetch costs a full
-        round trip this halves the per-batch latency: the host fetches
-        once and only assembles columns.
+    def _build_fused(self, plan, Pk, S_pad, G_eff, Zb, Bc, Ksel):
+        """One device program covering the whole per-batch search:
+        SEGMENTED stage-1 window counts (each (window-width Wb,
+        ladder-length Lcb, padded-rows Rb) class runs at its own static
+        shape — the 2D bucketing that recovers 2-4x of stage-1 compute,
+        here inside one program), a scatter into the per-spectrum merge
+        grid, the PreScore merge (4-key sort by matched/peptide/charge/
+        isotope desc — scoring.rs:43-49 + trim_hits), compaction of the
+        matched>0 candidates, the full stage-2 rescore, and a
+        per-spectrum SELECTION of the top-Ksel candidates by an f32
+        hyperscore order key (the reference's score_standard sort,
+        scoring.rs:495). Only the selected rows (plus per-spectrum
+        statistics) return to the host — the fetch shrinks from
+        O(candidates) to O(spectra x Ksel), and the host-side PreScore
+        merge + candidate ranking disappear entirely.
 
-        Requires uniform rows-per-spectrum (G_rows) and the counts-only
-        stage-1 shape (W <= K); the classic two-dispatch path remains for
-        everything else and as the overflow fallback."""
-        R = S_pad * G_rows
-        stage1_fn, counts_only = self._stage1(W, Pk, R, Zb)
-        # per-row candidate width feeding the per-spectrum merge: the
-        # whole window (counts-only) or the row's device top-K
-        k_row = W if counts_only else self.K
-        K0 = min(self.K, G_rows * k_row)
-        s1_trace = stage1_fn._traceable
-        s1_tbl = stage1_fn._tbl
+        The f32 order key can misorder candidates whose f64 hyperscores
+        differ by less than f32 rounding, so the program also returns the
+        best UNSELECTED key per spectrum (`b32`); the host verifies the
+        selection against it with exact f64 arithmetic and falls back to
+        the untruncated candidate list (kept on device) for the rare
+        spectrum that trips the guard — results stay byte-identical to
+        the two-dispatch path (see _fused_finalize).
+
+        ``plan``: tuple of (Wb, Lcb, Rb) segments; rows are assigned on
+        the host (see _fused_dispatch) and carry their (spectrum, slot)
+        coordinates, so rows-per-spectrum may be ragged up to G_eff."""
+        K = self.K
+        K0 = K  # the merge keeps at most K candidates per spectrum
+        Ksel = min(Ksel, K0)
         tables = self.tables
         series = self.series
         frag_tol = self.params.fragment_tol
         L = tables.L
         cfg = self.params.max_fragment_charge
         Zcap = self.Z
+        min_matched = self.params.min_matched_peaks
+        openms = self.params.score_type != SAGE_HYPERSCORE
+        # f32 lnfact table for the device-side hyperscore ORDER key (the
+        # exact f64 value is recomputed on host for the fetched rows)
+        from .features import lnfact_vec
+
+        lnf32 = jnp.asarray(
+            lnfact_vec(np.arange(self.n_series * L * max(Zcap, 1) + 2))
+            .astype(np.float32)
+        )
+        # Per-segment stage-1 traceables (XLA form, shared device tables).
+        seg_fns = []
+        seg_off = []
+        off = 0
+        for (Wb, Lcb, Rb) in plan:
+            fn_b, co_b = self._build_stage1(Wb, Pk, Rb, Zb, Lcb)
+            seg_fns.append((fn_b._traceable, co_b, Wb, Rb))
+            seg_off.append(off)
+            off += Rb
+        R_tot = off
+        # all XLA segments share the same table args
+        s1_tbl = (
+            (tables.lad_index,) if tables.lad_index is not None
+            else (tables.resmass, tables.nterm, tables.mono, tables.lens)
+        )
         # ladder rows for the rescore: the lane-padded 2D view gathers
         # ~50x faster than the 3D [S, L] form (see _build_stage2_compact)
         use_2d = tables.lad2d_full is not None
         n_series_f = len(series)
 
-        def run_inner(tbl_s1, lad_full, peaks_dev, ints):
-            # ints: [7, R] i32 (spec, p0, i0, i1, maxz, z, iso)
-            packed = s1_trace(tbl_s1, peaks_dev, ints[:5])
-            if counts_only:  # packed [R, W+2]
-                counts = packed[:, :W]
-                mtot = packed[:, W]
-                scored = packed[:, W + 1]
-                p0 = ints[1]
-                pep = p0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-            else:  # packed [R, 2K+2]: per-row top-K (vals, pep)
-                counts = packed[:, : self.K]
-                pep = packed[:, self.K : 2 * self.K]
-                mtot = packed[:, 2 * self.K]
-                scored = packed[:, 2 * self.K + 1]
-            z = jnp.broadcast_to(ints[5][:, None], (R, k_row))
-            iso = jnp.broadcast_to(ints[6][:, None], (R, k_row))
-
-            def rs(x):
-                return x.reshape(S_pad, G_rows * k_row)
+        def run_inner(tbl_s1, lad_full, lnf, peaks_dev, ints):
+            # ints: [8, R_tot] i32 (spec, p0, i0, i1, maxz, z, iso, slot)
+            # with spec == S_pad marking padding rows. Each segment is a
+            # static column range of ints.
+            m_g = jnp.zeros((S_pad + 1, G_eff, K), jnp.int32)
+            pep_g = jnp.full((S_pad + 1, G_eff, K), -1, jnp.int32)
+            z_g = jnp.zeros((S_pad + 1, G_eff), jnp.int32)
+            iso_g = jnp.zeros((S_pad + 1, G_eff), jnp.int32)
+            mtot_v = jnp.zeros(S_pad + 1, jnp.int32)
+            scored_v = jnp.zeros(S_pad + 1, jnp.int32)
+            for (trace, co_b, Wb, Rb), o in zip(seg_fns, seg_off):
+                seg = jax.lax.slice_in_dim(ints, o, o + Rb, axis=1)
+                packed = trace(tbl_s1, peaks_dev, seg[:5])
+                if co_b:  # [Rb, Wb+2] raw window counts
+                    vals_b = packed[:, :Wb]
+                    pep_b = seg[1][:, None] + jnp.arange(
+                        Wb, dtype=jnp.int32
+                    )[None, :]
+                    if Wb < K:
+                        vals_b = jnp.pad(vals_b, ((0, 0), (0, K - Wb)))
+                        pep_b = jnp.pad(
+                            pep_b, ((0, 0), (0, K - Wb)),
+                            constant_values=-1,
+                        )
+                    mtot_b = packed[:, Wb]
+                    scored_b = packed[:, Wb + 1]
+                else:  # [Rb, 2K+2] per-row top-K (vals, pep)
+                    vals_b = packed[:, :K]
+                    pep_b = packed[:, K : 2 * K]
+                    mtot_b = packed[:, 2 * K]
+                    scored_b = packed[:, 2 * K + 1]
+                sp_b = seg[0]
+                sl_b = seg[7]
+                m_g = m_g.at[sp_b, sl_b].set(vals_b[:, :K])
+                pep_g = pep_g.at[sp_b, sl_b].set(pep_b[:, :K])
+                z_g = z_g.at[sp_b, sl_b].set(seg[5])
+                iso_g = iso_g.at[sp_b, sl_b].set(seg[6])
+                mtot_v = mtot_v.at[sp_b].add(mtot_b)
+                scored_v = scored_v.at[sp_b].add(scored_b)
+            GK = G_eff * K
+            counts2 = m_g[:S_pad].reshape(S_pad, GK)
+            pep2 = pep_g[:S_pad].reshape(S_pad, GK)
+            z2 = jnp.broadcast_to(
+                z_g[:S_pad, :, None], (S_pad, G_eff, K)
+            ).reshape(S_pad, GK)
+            iso2 = jnp.broadcast_to(
+                iso_g[:S_pad, :, None], (S_pad, G_eff, K)
+            ).reshape(S_pad, GK)
+            mtot_s = mtot_v[:S_pad].astype(jnp.float32)
+            scored_s = scored_v[:S_pad].astype(jnp.float32)
 
             m_s, pep_s, z_s, iso_s = jax.lax.sort(
-                (-rs(counts), -rs(pep), -rs(z), -rs(iso)),
-                dimension=1, num_keys=4,
+                (-counts2, -pep2, -z2, -iso2), dimension=1, num_keys=4,
             )
             m_s = -m_s[:, :K0]
             pep_s = -pep_s[:, :K0]
@@ -1350,6 +1416,9 @@ class Scorer:
             c_z = compact(z_s)
             c_iso = compact(iso_s)
             c_spec = compact(spec_ids)
+            c_valid = jnp.arange(Bc, dtype=jnp.int32) < jnp.minimum(
+                total, np.int32(Bc)
+            )
 
             # stage 2 on the compacted items
             cap = jnp.minimum(c_z, cfg + 1) if cfg is not None else c_z
@@ -1372,34 +1441,96 @@ class Scorer:
             mb, my, sb, sy, pp, lb, ly = jax.vmap(per_item)(
                 pkm, pki, c_pep, c_maxz
             )
-            # ONE packed f32 output -> ONE host fetch round trip; on this
-            # link downloads run ~13 MB/s + ~28 ms, so every byte counts.
-            # Integer fields bit-pack into f32-exact 24-bit lanes
-            # (preconditions enforced in _fused_dispatch: pep < 2^24,
-            # mb/my < 2^12, lb/ly < 2^6, z < 2^5, |iso| <= 15):
-            #   col0 mb*4096 + my            col1 lb<<18 | ly<<12 | z<<5 | iso+16
-            #   col2 pep                     col3 spec
-            #   col4 sb   col5 sy   col6 ppm_sum
-            c0 = (mb * 4096 + my).astype(jnp.float32)
-            c1 = (
-                lb * (1 << 18) + ly * (1 << 12) + c_z * (1 << 5)
-                + (c_iso + 16)
+
+            # ---- per-spectrum selection by the f32 hyperscore order key.
+            # hs32 tracks hyperscore_vec's f64 arithmetic term-for-term
+            # (scoring.rs:179-201); only its ORDER is consumed, and the
+            # host guard bounds the f32/f64 divergence (see EPS in
+            # _select_finalize).
+            if openms:
+                hs32 = jnp.log1p(sb + sy) + lnf[mb] + lnf[my]
+            else:
+                hs32 = (
+                    jnp.log(sb + np.float32(1.0))
+                    + jnp.log(sy + np.float32(1.0))
+                    + lnf[mb] + lnf[my]
+                )
+            hs32 = jnp.where(jnp.isfinite(hs32), hs32, np.float32(255.0))
+            ok = c_valid & ((mb + my) >= min_matched)
+            # gather each spectrum's candidates back into the [S_pad, K0]
+            # merge grid (column = within-spectrum PreScore rank): the
+            # selection sort key is (ok desc, hs32 desc, rank asc) — the
+            # rank tiebreak reproduces the host lexsort's stability.
+            col = jnp.arange(K0, dtype=jnp.int32)[None, :]
+            gidx = jnp.minimum(offs[:, None] + col, np.int32(Bc - 1))
+            gvalid = (col < cnt_s[:, None]) & (
+                (offs[:, None] + col) < np.int32(Bc)
+            )
+            hs_g = hs32[gidx]
+            ok_g = ok[gidx] & gvalid
+            key = jnp.where(ok_g, hs_g, np.float32(-np.inf))
+            skey, scol = jax.lax.sort(
+                (-key, jnp.broadcast_to(col, (S_pad, K0))),
+                dimension=1, num_keys=2,
+            )
+            sel_col = scol[:, :Ksel]                      # [S_pad, Ksel]
+            n_ok = jnp.sum(ok_g.astype(jnp.int32), axis=1)
+            # best UNSELECTED key per spectrum: the host-side safety bound
+            b32 = (
+                -skey[:, Ksel] if Ksel < K0
+                else jnp.full((S_pad,), -np.inf, jnp.float32)
+            )
+            sidx = jnp.minimum(
+                offs[:, None] + sel_col, np.int32(Bc - 1)
+            )  # flat item index of each selected slot
+
+            def sel(x):
+                return x[sidx]
+
+            # ---- packed small output: Ksel selected rows per spectrum,
+            # one stats row per spectrum, one tail row. Integer fields
+            # bit-pack into f32-exact 24-bit lanes (preconditions
+            # enforced in _fused_dispatch: pep < 2^24, mb/my < 2^12,
+            # lb/ly < 2^6, rank < 2^6, z < 2^5, |iso| <= 15):
+            #   col0 mb*4096+my   col1 lb<<13 | ly<<7 | rank
+            #   col2 z<<5 | iso+16  col3 pep  col4 sb  col5 sy  col6 ppm
+            cA = (sel(mb) * 4096 + sel(my)).astype(jnp.float32)
+            cB = (
+                sel(lb) * (1 << 13) + sel(ly) * (1 << 7) + sel_col
             ).astype(jnp.float32)
-            items = jnp.stack(
+            cC = (sel(c_z) * (1 << 5) + (sel(c_iso) + 16)).astype(
+                jnp.float32
+            )
+            rows7 = jnp.stack(
+                [cA, cB, cC, sel(c_pep).astype(jnp.float32),
+                 sel(sb), sel(sy), sel(pp)],
+                axis=-1,
+            ).reshape(S_pad * Ksel, 7)
+            # per-spectrum stats: b32, n_ok, matched_total, scored,
+            # compact offset/count (the fallback's slice bounds)
+            stats = jnp.stack(
                 [
-                    c0, c1,
-                    c_pep.astype(jnp.float32), c_spec.astype(jnp.float32),
-                    sb, sy, pp,
+                    b32, n_ok.astype(jnp.float32), mtot_s, scored_s,
+                    offs.astype(jnp.float32), cnt_s.astype(jnp.float32),
+                    jnp.zeros(S_pad, jnp.float32),
                 ],
                 axis=1,
-            )  # [Bc, 7]
-            stats = jnp.zeros((R, 7), jnp.float32)
-            stats = stats.at[:, 0].set(mtot.astype(jnp.float32))
-            stats = stats.at[:, 1].set(scored.astype(jnp.float32))
+            )  # [S_pad, 7]
             tail = jnp.zeros((1, 7), jnp.float32).at[0, 0].set(
                 total.astype(jnp.float32)
             )
-            return jnp.concatenate([items, stats, tail], axis=0)
+            small = jnp.concatenate([rows7, stats, tail], axis=0)
+
+            # ---- untruncated per-item arrays, kept ON DEVICE for the
+            # guard-failure fallback (fetched only when a spectrum trips)
+            items7 = jnp.stack(
+                [mb.astype(jnp.float32), my.astype(jnp.float32),
+                 sb, sy, pp,
+                 lb.astype(jnp.float32), ly.astype(jnp.float32)],
+                axis=1,
+            )  # [Bc, 7]
+            meta = jnp.stack([c_pep, c_z, c_iso, c_spec], axis=1)  # [Bc, 4]
+            return small, items7, meta
 
         jitted = jax.jit(run_inner)
 
@@ -1407,25 +1538,63 @@ class Scorer:
             return jitted(
                 s1_tbl,
                 tables.lad2d_full if use_2d else tables.lad_full,
-                peaks_dev, ints,
+                lnf32, peaks_dev, ints,
             )
 
         return run
 
-    def _fused(self, W, Pk, S_pad, G_rows, Zb, Bc):
-        key = ("f", W, Pk, S_pad, G_rows, Zb, Bc)
+    def _fused(self, plan, Pk, S_pad, G_eff, Zb, Bc, Ksel):
+        key = ("f", plan, Pk, S_pad, G_eff, Zb, Bc, Ksel)
         if key not in self._stage1_cache:
             self._stage1_cache[key] = self._build_fused(
-                W, Pk, S_pad, G_rows, Zb, Bc
+                plan, Pk, S_pad, G_eff, Zb, Bc, Ksel
             )
         return self._stage1_cache[key]
+
+    def _sticky_classes(self, rows, n_rows, W):
+        """(Wb, Lcb) stage-1 classes for the fused plan, STICKY per
+        (W, L): derived from `_row_buckets` on the first batch and
+        reused verbatim afterwards, so the fused program's compiled
+        shape set stays stable across batches (only the pow2 per-class
+        row counts vary). The top class is widened to (W, L) as a
+        catch-all so any later row fits."""
+        L = self.tables.L
+        key = (W, L)
+        cls = self._plan_sticky.get(key)
+        if cls is None:
+            buckets = self._row_buckets(rows, n_rows, W)
+            cls = (
+                sorted({(int(b[0]), int(b[1] if b[1] is not None else L))
+                        for b in buckets})
+                if buckets else []
+            )
+            if (W, L) not in cls:
+                cls.append((W, L))
+            cls = tuple(sorted(cls))
+            self._plan_sticky[key] = cls
+        return cls
+
+    def _ksel(self) -> int:
+        """Selected rows fetched per spectrum: the reported PSMs, the
+        runner-up delta_next needs, plus headroom for isotope-error
+        twins (the same peptide re-queried at shifted windows produces
+        EXACTLY equal hyperscores, which cluster at the selection
+        boundary) and for f32 near-ties."""
+        import os
+
+        env = os.environ.get("SAGE_TPU_KSEL")
+        if env:
+            return max(int(env), self.params.report_psms + 1)
+        p = self.params
+        n_iso = max(p.max_isotope_err - p.min_isotope_err + 1, 1)
+        return p.report_psms + n_iso + 3
 
     def _fused_dispatch(self, spectra, masses, intens, Pk, peaks_dev,
                         rows=None):
         """Try the fused path; returns None when its preconditions don't
-        hold (non-uniform row counts, wide window, open search, huge
-        table). ``rows`` may be passed in so a fallback to the classic
-        path doesn't re-expand."""
+        hold (non-uniform row counts, open-search window, huge table).
+        ``rows`` may be passed in so a fallback to the classic path
+        doesn't re-expand."""
         import os
 
         # bit-packing preconditions (see _build_fused's output layout)
@@ -1448,12 +1617,7 @@ class Scorer:
             return None
         n_rows = rows["si"].size
         n_spec = len(spectra)
-        if n_rows == 0 or n_rows % n_spec != 0:
-            return None
-        G_rows = n_rows // n_spec
-        if not np.array_equal(
-            rows["si"], np.repeat(np.arange(n_spec, dtype=np.int32), G_rows)
-        ):
+        if n_rows == 0:
             return None
         max_win = int((rows["i1"] - rows["i0"]).max())
         W = min(next_power_of_two(max(max_win, 8)), self.tables.P_pad)
@@ -1461,103 +1625,275 @@ class Scorer:
             return None
 
         S_pad = _pad_count(n_spec)
-        R = S_pad * G_rows
-        ints = np.zeros((7, R), dtype=np.int32)
-        ints[0, :n_rows] = rows["si"]
-        ints[1, :n_rows] = np.minimum(rows["i0"], self.tables.P_pad - W)
-        ints[2, :n_rows] = rows["i0"]
-        ints[3, :n_rows] = rows["i1"]
+        si = rows["si"]
+        # within-spectrum row ordinal (rows are spectrum-grouped); the
+        # merge grid slot coordinate — rows per spectrum may be ragged
+        starts = np.r_[0, np.flatnonzero(np.diff(si)) + 1]
+        counts_r = np.diff(np.r_[starts, n_rows])
+        slot = (np.arange(n_rows) - np.repeat(starts, counts_r)).astype(
+            np.int32
+        )
+        G_eff = next_power_of_two(max(int(slot.max()) + 1, 1))
+
+        # 2D (width, ladder-length) class plan: sticky classes, pow2
+        # per-class row counts — the fused program recompiles only when
+        # a class's row count crosses a pow2 boundary
+        width = (rows["i1"] - rows["i0"]).astype(np.int64)
+        lneed = _window_lneed(self.db.table.lens, rows["i0"], rows["i1"])
+        classes = self._sticky_classes(rows, n_rows, W)
+        assign = np.full(n_rows, -1, np.int64)
+        for ci, (Wb, Lcb) in enumerate(classes):
+            m = (assign < 0) & (width <= Wb) & (lneed <= Lcb)
+            assign[m] = ci
+
         cfg = self.params.max_fragment_charge
         cap = np.minimum(rows["z"], cfg + 1) if cfg is not None else rows["z"]
         maxz = np.maximum(cap, 2)
-        ints[4, :n_rows] = maxz
-        ints[4, n_rows:] = 2
-        ints[5, :n_rows] = rows["z"]
-        ints[6, :n_rows] = rows["iso"]
         Zb = min(max(int(maxz.max()) - 1, 1), self.Z)
-        # candidate budget: ~2 matched candidates/spectrum is typical on
-        # narrow annotated searches — the regime where fusing wins. Dense
-        # windows (big databases) match tens of candidates per spectrum;
-        # there the classic path's exact-size stage 2 beats the fused
-        # path's padded budget, so once measured density exceeds the
-        # budget's headroom, stop fusing (the density hint comes from
-        # _fused_finalize, including overflowed batches).
-        hint = getattr(self, "_bc_hint", None)
-        if hint is not None and hint[0] / max(hint[1], 1) > 2.5:
-            return None
-        if hint is None and n_spec:
-            # no measurement yet: estimate density from the total window
-            # width per spectrum. Proteome-scale windows (hundreds of
-            # candidates/spectrum) always blow the 3/spectrum budget —
-            # skip the guaranteed first-batch overflow + rerun (and the
-            # fused program's compile) outright.
-            width_per_spec = float(
-                (rows["i1"].astype(np.int64) - rows["i0"]).sum()
-            ) / n_spec
-            if width_per_spec > 48.0:
-                return None
-        Bc = max(_pad_count(3 * n_spec), 2048)
 
-        fn = self._fused(W, Pk, S_pad, G_rows, Zb, Bc)
-        out = fn(peaks_dev, jnp.asarray(ints))
-        out.copy_to_host_async()
+        plan = []
+        segs = []
+        for ci, (Wb, Lcb) in enumerate(classes):
+            idx = np.flatnonzero(assign == ci)
+            plan.append((Wb, Lcb, next_power_of_two(max(idx.size, 8))))
+            segs.append(idx)
+        plan = tuple(plan)
+        R_tot = sum(p[2] for p in plan)
+        ints = np.zeros((8, R_tot), dtype=np.int32)
+        ints[0] = S_pad  # padding sentinel: scatters to the dump row
+        ints[4] = 2
+        off = 0
+        for (Wb, Lcb, Rb), idx in zip(plan, segs):
+            nb = idx.size
+            sl = slice(off, off + nb)
+            ints[0, sl] = si[idx]
+            ints[1, sl] = np.minimum(
+                rows["i0"][idx], self.tables.P_pad - Wb
+            )
+            ints[2, sl] = rows["i0"][idx]
+            ints[3, sl] = rows["i1"][idx]
+            ints[4, sl] = maxz[idx]
+            ints[5, sl] = rows["z"][idx]
+            ints[6, sl] = rows["iso"][idx]
+            ints[7, sl] = slot[idx]
+            off += Rb
+
+        # stage-2 candidate budget: learned from the measured live-item
+        # density (grows on overflow, classic rerun covers the batch that
+        # overflowed); the cold estimate assumes ~60% of the summed
+        # window width yields matched candidates, capped at the top-K
+        # merge bound. Pow2 via _pad_count so Bc (a compiled shape)
+        # takes at most a couple of values per run.
+        k_row = self.K  # merge keeps at most K per spectrum either way
+        hint = getattr(self, "_bc_hint", None)
+        if hint is not None:
+            per_spec = hint[0] / max(hint[1], 1)
+        else:
+            width_per_spec = float(width.sum()) / max(n_spec, 1)
+            per_spec = min(0.6 * width_per_spec + 3.0, float(k_row))
+        Bc = max(
+            _pad_count(int(min(per_spec * 1.3 + 8.0, float(k_row)) * S_pad)),
+            2048,
+        )
+        Ksel = self._ksel()
+
+        fn = self._fused(plan, Pk, S_pad, G_eff, Zb, Bc, Ksel)
+        small, items7, meta = fn(peaks_dev, jnp.asarray(ints))
+        small.copy_to_host_async()
         return {
-            "fused": out, "n_rows": n_rows, "n_spec": n_spec, "Bc": Bc,
-            "spec_idx": ints[0][:R], "R": R,
+            "fused": small, "items7": items7, "meta": meta,
+            "n_rows": n_rows, "n_spec": n_spec, "Bc": Bc, "Ksel": Ksel,
+            "S_pad": S_pad,
         }
+
+    # hs32 is a 3-4 term f32 sum whose terms XLA evaluates within a few
+    # ulps; at |hyperscore| <= ~3000 that bounds the f32/f64 divergence
+    # well under 1e-2. The guard margin is ~5x that bound: a spectrum
+    # only falls back when candidates straddle the selection boundary
+    # within EPS of each other.
+    SELECT_EPS = 0.05
 
     def _fused_finalize(self, spectra, d, masses, intens, Pk):
-        """Unpack the single fused fetch into the (prelim, d2) pair the
-        column assembly consumes; returns None on budget overflow (caller
-        reruns via the classic path)."""
+        """Unpack the fused-select fetch into the final FeatureTable;
+        returns None on stage-2 budget overflow (caller reruns via the
+        classic path, and the recorded density hint grows the next
+        compile's budget).
+
+        Exactness: the device selected each spectrum's top-Ksel
+        candidates by an f32 hyperscore ORDER key; this host side
+        recomputes exact f64 hyperscores for the fetched rows, re-sorts,
+        and verifies per spectrum that no unfetched candidate (whose f32
+        key is bounded by the fetched ``b32``) could reach the reported
+        set. Spectra that trip the guard are recomputed from the
+        untruncated on-device candidate arrays — byte-identical output
+        to the classic path, always."""
         packed = np.asarray(_dget(d["fused"]))
-        Bc = d["Bc"]
-        stats = packed[Bc : Bc + d["R"], :2]
+        S_pad, Ksel = d["S_pad"], d["Ksel"]
+        n_spec = d["n_spec"]
+        p = self.params
+        r_psms = p.report_psms
         total = int(packed[-1, 0])
-        # feed the budget adaption (true total is counted even when the
-        # compaction clipped)
-        self._bc_hint = (total, d["n_spec"])
-        if total > Bc:
+        self._bc_hint = (total, n_spec)
+        if total > d["Bc"]:
             return None
-        n_rows, n_spec = d["n_rows"], d["n_spec"]
-        spec_matched = np.bincount(
-            d["spec_idx"][:n_rows], weights=stats[:n_rows, 0],
-            minlength=n_spec,
-        ).astype(np.int64)
-        spec_scored = np.bincount(
-            d["spec_idx"][:n_rows], weights=stats[:n_rows, 1],
-            minlength=n_spec,
-        ).astype(np.int64)
-        # unpack the bit-packed item columns (see _build_fused layout)
-        c0 = packed[:total, 0].astype(np.int64)
-        c1 = packed[:total, 1].astype(np.int64)
-        mb = (c0 // 4096).astype(np.int32)
-        my = (c0 % 4096).astype(np.int32)
-        lb = (c1 >> 18).astype(np.int32)
-        ly = ((c1 >> 12) & 63).astype(np.int32)
-        zc = ((c1 >> 5) & 31).astype(np.int32)
-        iso = ((c1 & 31) - 16).astype(np.int32)
-        prelim = {
-            "cand_pep": packed[:total, 2].astype(np.int32),
-            "cand_spec": packed[:total, 3].astype(np.int32),
-            "cand_charge": zc,
-            "cand_iso": iso,
-            "cand_matched": (mb + my),  # not used downstream; kept for shape
-            "spec_matched": spec_matched,
-            "spec_scored": spec_scored,
+        rows7 = packed[: S_pad * Ksel].reshape(S_pad, Ksel, 7)[:n_spec]
+        stats = packed[S_pad * Ksel : S_pad * Ksel + S_pad][:n_spec]
+
+        b32 = stats[:, 0]
+        n_ok = stats[:, 1].astype(np.int64)
+        spec_matched = stats[:, 2].astype(np.int64)
+        spec_scored = stats[:, 3].astype(np.int64)
+        offs = stats[:, 4].astype(np.int64)
+        cnt = stats[:, 5].astype(np.int64)
+        # per-spectrum sums were accumulated in f32 on device: past 2^24
+        # they lose integer exactness — fall back to the classic path
+        # (never observed outside adversarial synthetics)
+        if stats[:, 2:4].max(initial=0.0) >= float(1 << 24):
+            return None
+
+        # unpack the selected rows (see _build_fused's packed layout)
+        cA = rows7[..., 0].astype(np.int64)
+        cB = rows7[..., 1].astype(np.int64)
+        cC = rows7[..., 2].astype(np.int64)
+        mb = (cA // 4096).astype(np.int32)
+        my = (cA % 4096).astype(np.int32)
+        lb = (cB >> 13).astype(np.int32)
+        ly = ((cB >> 7) & 63).astype(np.int32)
+        mrank = (cB & 127).astype(np.int32)  # within-spectrum merge rank
+        zc = (cC >> 5).astype(np.int32)
+        iso = ((cC & 31) - 16).astype(np.int32)
+        pep = rows7[..., 3].astype(np.int32)
+        sb = rows7[..., 4].astype(np.float32)
+        sy = rows7[..., 5].astype(np.float32)
+        pps = rows7[..., 6].astype(np.float32)
+
+        n_fetch = np.minimum(n_ok, Ksel)  # valid fetched rows/spectrum
+        col = np.arange(Ksel, dtype=np.int64)[None, :]
+        valid = col < n_fetch[:, None]
+
+        # exact f64 hyperscore + host re-sort of the fetched rows by
+        # (hs desc, merge rank asc) — the classic lexsort's exact order
+        hs = hyperscore_vec(p.score_type, mb, my, sb, sy)
+        hs = np.where(valid, hs, -np.inf)
+        order = np.lexsort(
+            (np.where(valid, mrank, 1 << 20), -hs), axis=1
+        )
+        take = np.take_along_axis
+
+        def srt(x):
+            return take(x, order, axis=1)
+
+        hs_s = srt(hs)
+        # the guard: every reported row and its delta_next source must
+        # beat the best unselected candidate's f32 key by the f32/f64
+        # divergence margin (spectra whose candidates were all fetched
+        # are exact by construction)
+        n_need = np.minimum(n_ok, r_psms + 1)
+        last_needed = np.clip(n_need - 1, 0, Ksel - 1)
+        need_hs = take(hs_s, last_needed[:, None], axis=1)[:, 0]
+        with np.errstate(invalid="ignore"):
+            # -inf + inf -> nan when the guard is forced wide open; the
+            # nan compares False, i.e. falls back — the safe direction
+            safe = (n_ok <= Ksel) | (need_hs > b32 + self.SELECT_EPS)
+        failed = np.flatnonzero(~safe & (n_ok > 0))
+
+        n_rep = np.minimum(n_ok, r_psms).astype(np.int64)
+        rep_mask = col < n_rep[:, None]
+        # delta_next: vs the next candidate in hs order (0 past the end)
+        nxt = np.concatenate(
+            [hs_s[:, 1:], np.full((hs_s.shape[0], 1), -np.inf)], axis=1
+        )
+        has_next = col + 1 < n_ok[:, None]
+        with np.errstate(invalid="ignore"):
+            # invalid slots hold -inf; their nan deltas are never read
+            delta_next = hs_s - np.where(has_next, nxt, 0.0)
+            delta_best = hs_s[:, :1] - hs_s
+
+        cols = {
+            "pep": srt(pep), "z": srt(zc), "iso": srt(iso),
+            "mb": srt(mb), "my": srt(my), "sb": srt(sb), "sy": srt(sy),
+            "pps": srt(pps), "lb": srt(lb), "ly": srt(ly),
         }
-        feats = np.stack(
-            [
-                mb.astype(np.float32), my.astype(np.float32),
-                packed[:total, 4], packed[:total, 5], packed[:total, 6],
-                lb.astype(np.float32), ly.astype(np.float32),
-            ],
-            axis=1,
+
+        if failed.size:
+            self._select_fallback(
+                failed, d, n_ok, r_psms, cols, hs_s, delta_next,
+                delta_best,
+            )
+
+        ri, ci = np.nonzero(rep_mask)
+        ssum = (cols["sb"][ri, ci] + cols["sy"][ri, ci]).astype(np.float32)
+        ppm_sum = cols["pps"][ri, ci]
+        ppm = np.where(
+            ssum != 0,
+            ppm_sum / np.where(ssum == 0, np.float32(1.0), ssum),
+            0.0,
+        ).astype(np.float32)
+        return self._emit_table(
+            spectra,
+            s_of=ri.astype(np.int32), pep=cols["pep"][ri, ci],
+            z_of=cols["z"][ri, ci], iso_i=cols["iso"][ri, ci],
+            mb=cols["mb"][ri, ci], my=cols["my"][ri, ci],
+            sb=cols["sb"][ri, ci], sy=cols["sy"][ri, ci], ppm=ppm,
+            lb=cols["lb"][ri, ci], ly=cols["ly"][ri, ci],
+            hs=hs_s[ri, ci], rank0=ci.astype(np.int32),
+            delta_next=delta_next[ri, ci], delta_best=delta_best[ri, ci],
+            spec_matched=spec_matched, spec_scored=spec_scored,
+            tic_override=None, masses=masses, use_int=intens, Pk=Pk,
         )
-        d2 = {"out_dev": feats, "nI": total, "use_int": intens}
-        return self._stage2_finalize(
-            spectra, prelim, d2, self.params.report_psms, None, masses, Pk
+
+    def _select_fallback(
+        self, failed, d, n_ok, r_psms, cols, hs_s, delta_next, delta_best,
+    ):
+        """Recompute the reported rows of guard-failed spectra from the
+        untruncated on-device candidate arrays (one fetch, amortized over
+        every failed spectrum in the batch), overwriting the fetched-row
+        views in place. Statistically rare: requires candidates within
+        SELECT_EPS of each other straddling the Ksel boundary."""
+        log.debug(
+            "select guard: %d spectra fall back to the full candidate "
+            "list", failed.size,
         )
+        items7 = np.asarray(_dget(d["items7"]))
+        meta = np.asarray(_dget(d["meta"]))
+        p = self.params
+        min_m = p.min_matched_peaks
+        for s in failed:
+            c_spec = meta[:, 3]
+            sel = np.flatnonzero(c_spec == s)
+            if sel.size == 0:
+                continue
+            f_mb = items7[sel, 0].astype(np.int32)
+            f_my = items7[sel, 1].astype(np.int32)
+            f_sb = items7[sel, 2]
+            f_sy = items7[sel, 3]
+            ok = (f_mb + f_my) >= min_m
+            oi = np.flatnonzero(ok)
+            f_hs = hyperscore_vec(
+                p.score_type, f_mb[oi], f_my[oi], f_sb[oi], f_sy[oi]
+            )
+            # stable by (hs desc) keeps merge order for ties — `sel` is
+            # already in within-spectrum merge-rank order
+            o2 = np.argsort(-f_hs, kind="stable")
+            src = sel[oi[o2]]
+            k = min(src.size, hs_s.shape[1])
+            n_ok[s] = oi.size
+            for name, src_col in (
+                ("mb", 0), ("my", 1), ("sb", 2), ("sy", 3), ("pps", 4),
+                ("lb", 5), ("ly", 6),
+            ):
+                dst = cols[name]
+                dst[s, :k] = items7[src[:k], src_col].astype(dst.dtype)
+            cols["pep"][s, :k] = meta[src[:k], 0]
+            cols["z"][s, :k] = meta[src[:k], 1]
+            cols["iso"][s, :k] = meta[src[:k], 2]
+            hs_sorted = f_hs[o2]
+            hs_s[s, :k] = hs_sorted[:k]
+            for j in range(min(k, r_psms)):
+                delta_next[s, j] = hs_sorted[j] - (
+                    hs_sorted[j + 1] if j + 1 < oi.size else 0.0
+                )
+                delta_best[s, j] = hs_sorted[0] - hs_sorted[j]
 
     def _prelim_dispatch(self, spectra, masses=None, peaks_dev=None,
                          rows=None):
@@ -1963,7 +2299,34 @@ class Scorer:
 
         rep = rank < report_psms
         ri = items[rep]  # original candidate indices of reported PSMs
-        n_rep = ri.size
+
+        return self._emit_table(
+            spectra,
+            s_of=spec_i[ri], pep=pep_i[ri], z_of=chg[ri], iso_i=iso[ri],
+            mb=mb[ri], my=my[ri], sb=sb[ri], sy=sy[ri], ppm=ppm[ri],
+            lb=lb[ri], ly=ly[ri], hs=hs[ri], rank0=rank[rep],
+            delta_next=delta_next[rep], delta_best=delta_best[rep],
+            spec_matched=prelim["spec_matched"],
+            spec_scored=prelim["spec_scored"],
+            tic_override=tic_override, masses=masses, use_int=use_int,
+            Pk=Pk,
+        )
+
+    def _emit_table(
+        self, spectra, *, s_of, pep, z_of, iso_i, mb, my, sb, sy, ppm,
+        lb, ly, hs, rank0, delta_next, delta_best, spec_matched,
+        spec_scored, tic_override, masses, use_int, Pk,
+    ) -> FeatureTable:
+        """Column assembly for the REPORTED rows (scoring.rs:478-595's
+        Feature construction): every per-row argument is already
+        restricted to reported PSMs in final (spectrum asc, rank asc)
+        order; per-spectrum statistics arrive as full [n_spec] arrays.
+        Shared by the classic finalize (which selects reported rows on
+        host) and the fused-select finalize (which fetches them
+        pre-selected from the device)."""
+        p = self.params
+        n_rep = s_of.size
+        spec_ids = [s.id for s in spectra]
 
         # Per-spectrum metadata columns
         n_spec = len(spectra)
@@ -1987,29 +2350,25 @@ class Scorer:
             sp_tic = np.asarray(tic_override, np.float32)
 
         tbl = self.db.table
-        s_of = spec_i[ri]
-        pep = pep_i[ri]
-        z_of = chg[ri]
-
         pm = (sp_mz[s_of] * z_of.astype(np.float32)).astype(np.float32)
         calc = tbl.mono[pep]
-        iso_err = (iso[ri].astype(np.float32) * NEUTRON).astype(np.float32)
+        iso_err = (iso_i.astype(np.float32) * NEUTRON).astype(np.float32)
         with np.errstate(divide="ignore", invalid="ignore"):
             delta_mass = (
                 (((pm - calc).astype(np.float32) - iso_err).astype(np.float32)
                  * np.float32(2e6)).astype(np.float32)
                 / ((pm - iso_err).astype(np.float32) + calc).astype(np.float32)
             ).astype(np.float32)
-        k_match = (mb[ri] + my[ri]).astype(np.int32)
-        scored_cand = prelim["spec_scored"][s_of].astype(np.int32)
+        k_match = (mb + my).astype(np.int32)
+        scored_cand = spec_scored[s_of].astype(np.int32)
         with np.errstate(divide="ignore", invalid="ignore"):
             lam = np.where(
-                prelim["spec_scored"] > 0,
-                prelim["spec_matched"] / np.maximum(prelim["spec_scored"], 1),
+                spec_scored > 0,
+                spec_matched / np.maximum(spec_scored, 1),
                 0.0,
             )
         poisson = log10_poisson_vec(lam[s_of], k_match)
-        msum = (sb[ri] + sy[ri]).astype(np.float32)
+        msum = (sb + sy).astype(np.float32)
         tic_col = sp_tic[s_of]
         plen = tbl.lens[pep].astype(np.int32)
 
@@ -2023,7 +2382,7 @@ class Scorer:
         c["peptide_len"][:] = plen
         c["spec_idx"][:] = s_of
         c["file_id"][:] = sp_file[s_of]
-        c["rank"][:] = rank[rep] + 1
+        c["rank"][:] = rank0 + 1
         c["label"][:] = np.where(tbl.decoy[pep], -1, 1)
         c["expmass"][:] = pm
         c["calcmass"][:] = calc
@@ -2033,15 +2392,15 @@ class Scorer:
         c["ims"][:] = sp_ims[s_of]
         c["delta_mass"][:] = delta_mass
         c["isotope_error"][:] = iso_err
-        c["average_ppm"][:] = ppm[ri]
-        c["hyperscore"][:] = hs[ri]
-        c["delta_next"][:] = delta_next[rep]
-        c["delta_best"][:] = delta_best[rep]
+        c["average_ppm"][:] = ppm
+        c["hyperscore"][:] = hs
+        c["delta_next"][:] = delta_next
+        c["delta_best"][:] = delta_best
         c["matched_peaks"][:] = k_match
-        c["longest_b"][:] = lb[ri]
-        c["longest_y"][:] = ly[ri]
+        c["longest_b"][:] = lb
+        c["longest_y"][:] = ly
         c["longest_y_pct"][:] = (
-            ly[ri].astype(np.float32) / plen.astype(np.float32)
+            ly.astype(np.float32) / plen.astype(np.float32)
         ).astype(np.float32)
         c["missed_cleavages"][:] = tbl.missed_cleavages[pep]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -2056,7 +2415,8 @@ class Scorer:
         if p.annotate_matches:
             t.fragments = [
                 self._annotate_item(
-                    int(pep[i]), int(z_of[i]), int(s_of[i]), masses, use_int, Pk
+                    int(pep[i]), int(z_of[i]), int(s_of[i]), masses,
+                    use_int, Pk
                 )
                 for i in range(n_rep)
             ]

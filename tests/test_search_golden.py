@@ -250,6 +250,83 @@ def test_fused_matches_two_dispatch_wide_windows(monkeypatch):
         )
 
 
+def _wide_synth_setup(rng_seed=13, n_spec=6):
+    """Synthetic wide-window batch shared by the fused-select tests:
+    60 random proteins, spectra drawn from real b/y ladders."""
+    from sage_tpu.chem.mass import PROTON
+    from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum
+
+    rng = np.random.default_rng(rng_seed)
+    AA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    lines = []
+    for i in range(60):
+        seq = AA[rng.integers(0, len(AA), size=260)].tobytes().decode()
+        lines.append(f">sp|W{i:03d}|W{i}_SYN synthetic\n{seq}")
+    db_params = DatabaseParams()
+    db = db_params.build(
+        Fasta.parse("\n".join(lines), db_params.decoy_tag, True)
+    )
+    b, y = db.table.ladders()
+    targets = np.flatnonzero(db.table.lens >= 8)
+    spectra = []
+    for i in range(n_spec):
+        p = int(targets[rng.integers(0, targets.size)])
+        n = int(db.table.lens[p]) - 1
+        frags = np.concatenate([b[p, :n], y[p, :n]])
+        take = frags[rng.random(frags.shape[0]) < 0.8]
+        masses = np.sort(take.astype(np.float32))
+        intens = rng.uniform(1.0, 1e5, masses.shape[0]).astype(np.float32)
+        spectra.append(
+            ProcessedSpectrum(
+                level=2, id=f"scan={i}", file_id=0, scan_start_time=0.1 * i,
+                ion_injection_time=1.0,
+                precursors=[
+                    Precursor(mz=float(db.table.mono[p]) / 2 + PROTON,
+                              charge=2)
+                ],
+                masses=masses, intensities=intens,
+                mobilities=np.zeros(0, np.float32),
+                total_ion_current=np.float32(intens.sum()),
+            )
+        )
+    return db, spectra
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_fused_select_guard_fallback(monkeypatch, force_fallback):
+    """The device selects top-Ksel candidates by an f32 hyperscore key;
+    the host guard must catch boundary ambiguity and recompute from the
+    untruncated on-device arrays. Forcing the guard to fail for EVERY
+    spectrum (SELECT_EPS = inf) must still give byte-identical columns to
+    the classic path — the fallback IS the correctness proof. The
+    minimal Ksel (report_psms + 1) maximizes boundary pressure."""
+    db, spectra = _wide_synth_setup()
+    wide = SearchParams(
+        precursor_tol=Tolerance("da", -60.0, 60.0),
+        fragment_tol=Tolerance("ppm", -10.0, 10.0),
+        report_psms=3, min_matched_peaks=1,
+    )
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "999999999")
+    monkeypatch.setenv("SAGE_TPU_KSEL", "4")  # report_psms + 1
+    monkeypatch.setenv("SAGE_TPU_FUSED", "1")
+    s1 = Scorer(db, wide)
+    if force_fallback:
+        monkeypatch.setattr(Scorer, "SELECT_EPS", float("inf"))
+    t_fused = s1.score_table(spectra)
+    monkeypatch.setenv("SAGE_TPU_FUSED", "0")
+    t_classic = Scorer(db, wide).score_table(spectra)
+    assert len(t_fused) == len(t_classic) > 0
+    # truncation must actually be in play for the test to mean anything
+    assert any(
+        (t_classic.columns["rank"] == wide.report_psms).any()
+        for _ in (0,)
+    )
+    for k in t_classic.columns:
+        np.testing.assert_array_equal(
+            t_fused.columns[k], t_classic.columns[k], err_msg=f"column {k}"
+        )
+
+
 def test_packed_stage1_layout_and_saturation_redo(monkeypatch):
     """W > K stage-1 dispatches use the bit-packed (count<<23 | pep) top-K
     layout whenever P_pad < 2^23. The dispatch dict must carry the
