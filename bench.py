@@ -132,12 +132,14 @@ def timed_passes(scorer, spectra, batch, passes):
     }
 
 
-def profile_narrow(scorer, spectra, batch):
-    """Split one narrow batch into device-execute / transfer / host / rtt
-    terms with the amortized-queue method (sage_tpu/utils/devprof.py) and
-    derive an MFU-style number for stage 1: compare-op throughput against
-    the VPU peak (override with SAGE_TPU_VPU_PEAK_OPS; the default 2e12
-    is a conservative single-core v5e estimate)."""
+def profile_narrow(scorer, spectra, batch, reps=4):
+    """Phase-split one narrow batch through the PRODUCTION (fused) path:
+    host prep / stage-1 device / merge+rescore+select device / host
+    finalize / upload / RTT. Device terms come from the dispatch's own
+    ``timings`` hook — a blocking scalar fetch after each phase, timed
+    sequentially over ``reps`` dispatches with the link RTT subtracted —
+    which measures the real executables the throughput number runs, not
+    a reconstruction."""
     import jax.numpy as jnp
 
     from sage_tpu.utils import devprof
@@ -147,10 +149,8 @@ def profile_narrow(scorer, spectra, batch):
     rtt = devprof.measure_rtt()
     prof["rtt_s"] = round(rtt, 4)
 
-    t0 = time.perf_counter()
     masses, intens, Pk = scorer._pad_peaks(b)
     rows = scorer._expand_rows(b)
-    prof["host_prep_s"] = round(time.perf_counter() - t0, 4)
     peaks_np = np.stack([masses, intens])
     peaks_dev = jnp.asarray(peaks_np)
     prof["upload_s"] = round(
@@ -158,55 +158,56 @@ def profile_narrow(scorer, spectra, batch):
     )
     prof["upload_mib"] = round(peaks_np.nbytes / 2**20, 2)
 
-    def disp_s1():
-        d = scorer._prelim_dispatch(
-            b, masses=masses, peaks_dev=peaks_dev, rows=rows
+    # warm (compiles); also learns the stage-2 budget
+    d = scorer._fused_dispatch(b, masses, intens, Pk, peaks_dev, rows=rows)
+    if d is None:
+        prof["note"] = "fused path inactive; no phase split"
+        return prof
+    scorer._fused_finalize(b, d, masses, intens, Pk)
+    fb0 = getattr(scorer, "select_fallback_spectra", 0)
+
+    timings = {}
+    fin_s = 0.0
+    for _ in range(reps):
+        d = scorer._fused_dispatch(
+            b, masses, intens, Pk, peaks_dev, rows=rows, timings=timings
         )
-        return [bb["out_dev"] for bb in d.get("buckets", (d,))]
-
+        t0 = time.perf_counter()
+        scorer._fused_finalize(b, d, masses, intens, Pk)
+        fin_s += time.perf_counter() - t0
+    n = max(timings.get("n_dispatches", reps), 1)
+    prof["host_prep_s"] = round(timings.get("host_prep_s", 0.0) / n, 4)
     prof["s1_device_s"] = round(
-        devprof.amortized_exec_s(disp_s1, rtt=rtt), 4
+        max(timings.get("s1_device_s", 0.0) / n - rtt, 0.0), 4
     )
-    d1 = scorer._prelim_dispatch(
-        b, masses=masses, peaks_dev=peaks_dev, rows=rows
+    prof["merge_device_s"] = round(
+        max(timings.get("merge_device_s", 0.0) / n - rtt, 0.0), 4
     )
-    t0 = time.perf_counter()
-    prelim = scorer._prelim_finalize(d1)
-    prof["s1_host_merge_s"] = round(time.perf_counter() - t0, 4)
-
-    def disp_s2():
-        d2 = scorer._stage2_dispatch(prelim, intens, Pk, peaks_dev=peaks_dev)
-        return [d2["out_dev"]] if d2["out_dev"] is not None else []
-
-    prof["s2_device_s"] = round(
-        devprof.amortized_exec_s(disp_s2, rtt=rtt), 4
+    prof["host_finalize_s"] = round(fin_s / reps, 4)
+    prof["select_fallback_spectra"] = (
+        getattr(scorer, "select_fallback_spectra", 0) - fb0
     )
-    d2 = scorer._stage2_dispatch(prelim, intens, Pk, peaks_dev=peaks_dev)
-    t0 = time.perf_counter()
-    scorer._stage2_finalize(b, prelim, d2, scorer.params.report_psms,
-                            None, masses, Pk)
-    prof["s2_host_finalize_s"] = round(time.perf_counter() - t0, 4)
-    prof["n_candidates"] = int(prelim["cand_pep"].size)
-
-    # stage-1 compare volume: per row, S*W*Lc*Pk*Z windows x (2 compares
-    # + 2 adds) for the rank-difference count
-    S = scorer.n_series
-    ops = 0
-    for bb in d1.get("buckets", (d1,)):
-        R = len(bb["p0"])
-        Lc = bb.get("Lc", scorer.tables.L)
-        ops += 4 * R * S * bb["W"] * Lc * Pk
-    peak = float(os.environ.get("SAGE_TPU_VPU_PEAK_OPS", "2e12"))
-    if prof["s1_device_s"] > 0:
-        prof["s1_ops"] = ops
-        prof["mfu_stage1"] = round(ops / prof["s1_device_s"] / peak, 4)
-    dev = prof["s1_device_s"] + prof["s2_device_s"]
+    prof["Bc"] = d["Bc"]
+    if d.get("nb_F") is not None:
+        prof["banded_F"] = d["nb_F"]
+    dev = prof["s1_device_s"] + prof["merge_device_s"]
     prof["device_s_per_batch"] = round(dev, 4)
     prof["device_only_sps"] = round(batch / dev, 1) if dev > 0 else None
     prof["host_s_per_batch"] = round(
-        prof["host_prep_s"] + prof["s1_host_merge_s"]
-        + prof["s2_host_finalize_s"], 4
+        prof["host_prep_s"] + prof["host_finalize_s"], 4
     )
+    # effective stage-1 rate: compare-op volume of the candidate-major
+    # formulation over the measured stage-1 time — when the banded path
+    # is active this reads as the EQUIVALENT dense work it replaced
+    S = scorer.n_series
+    width = (rows["i1"].astype(np.int64) - rows["i0"]).sum()
+    ops = int(4 * S * width * scorer.tables.L * Pk)
+    peak = float(os.environ.get("SAGE_TPU_VPU_PEAK_OPS", "2e12"))
+    if dev > 0:
+        prof["s1_equiv_dense_ops"] = ops
+        prof["mfu_stage1_equiv"] = round(
+            ops / max(prof["s1_device_s"], 1e-9) / peak, 4
+        )
     return prof
 
 

@@ -1177,8 +1177,9 @@ class Scorer:
             t = self._fused_finalize(spectra, fd, masses, intens, Pk)
             if t is not None:
                 return t
+            self.fused_reruns = getattr(self, "fused_reruns", 0) + 1
             log.warning(
-                "fused candidate budget overflow; re-running batch via the "
+                "fused budget/capacity overflow; re-running batch via the "
                 "two-dispatch path"
             )
         prelim = self._prelim_finalize(
@@ -1244,8 +1245,9 @@ class Scorer:
                 )
                 if t is not None:
                     return t
+                self.fused_reruns = getattr(self, "fused_reruns", 0) + 1
                 log.warning(
-                    "fused candidate budget overflow; re-running batch via "
+                    "fused budget/capacity overflow; re-running batch via "
                     "the two-dispatch path"
                 )
                 prelim = self._preliminary(
@@ -1297,7 +1299,14 @@ class Scorer:
 
         ``plan``: tuple of (Wb, Lcb, Rb) segments; rows are assigned on
         the host (see _fused_dispatch) and carry their (spectrum, slot)
-        coordinates, so rows-per-spectrum may be ragged up to G_eff."""
+        coordinates, so rows-per-spectrum may be ragged up to G_eff.
+
+        The per-segment stage-1 programs are dispatched SEPARATELY (their
+        device-resident outputs feed this program as inputs): inlining
+        them into one XLA program was measured 3.3x slower than the same
+        segments as standalone executables — XLA's fusion/layout choices
+        degrade across the segment boundaries — and the split costs only
+        one extra async dispatch, not an extra fetch."""
         K = self.K
         K0 = K  # the merge keeps at most K candidates per spectrum
         Ksel = min(Ksel, K0)
@@ -1317,39 +1326,37 @@ class Scorer:
             lnfact_vec(np.arange(self.n_series * L * max(Zcap, 1) + 2))
             .astype(np.float32)
         )
-        # Per-segment stage-1 traceables (XLA form, shared device tables).
-        seg_fns = []
-        seg_off = []
+        seg_meta = []
         off = 0
-        for (Wb, Lcb, Rb) in plan:
-            fn_b, co_b = self._build_stage1(Wb, Pk, Rb, Zb, Lcb)
-            seg_fns.append((fn_b._traceable, co_b, Wb, Rb))
-            seg_off.append(off)
-            off += Rb
-        R_tot = off
-        # all XLA segments share the same table args
-        s1_tbl = (
-            (tables.lad_index,) if tables.lad_index is not None
-            else (tables.resmass, tables.nterm, tables.mono, tables.lens)
-        )
+        for entry in plan:
+            if entry[0] == "banded":
+                # one pseudo-segment: the peak-major banded stage 1
+                # already produced the [R, 2K+2] top-K layout for every
+                # row in original order
+                seg_meta.append((False, 1 << 30, entry[1], off))
+                off += entry[1]
+            else:
+                Wb, Lcb, Rb = entry
+                seg_meta.append((Wb <= K, Wb, Rb, off))
+                off += Rb
         # ladder rows for the rescore: the lane-padded 2D view gathers
         # ~50x faster than the 3D [S, L] form (see _build_stage2_compact)
         use_2d = tables.lad2d_full is not None
         n_series_f = len(series)
 
-        def run_inner(tbl_s1, lad_full, lnf, peaks_dev, ints):
+        def run_inner(lad_full, lnf, peaks_dev, ints, tail_extra,
+                      *seg_outs):
             # ints: [8, R_tot] i32 (spec, p0, i0, i1, maxz, z, iso, slot)
-            # with spec == S_pad marking padding rows. Each segment is a
-            # static column range of ints.
+            # with spec == S_pad marking padding rows; seg_outs: the
+            # stage-1 programs' packed outputs, one per plan segment.
             m_g = jnp.zeros((S_pad + 1, G_eff, K), jnp.int32)
             pep_g = jnp.full((S_pad + 1, G_eff, K), -1, jnp.int32)
             z_g = jnp.zeros((S_pad + 1, G_eff), jnp.int32)
             iso_g = jnp.zeros((S_pad + 1, G_eff), jnp.int32)
             mtot_v = jnp.zeros(S_pad + 1, jnp.int32)
             scored_v = jnp.zeros(S_pad + 1, jnp.int32)
-            for (trace, co_b, Wb, Rb), o in zip(seg_fns, seg_off):
+            for (co_b, Wb, Rb, o), packed in zip(seg_meta, seg_outs):
                 seg = jax.lax.slice_in_dim(ints, o, o + Rb, axis=1)
-                packed = trace(tbl_s1, peaks_dev, seg[:5])
                 if co_b:  # [Rb, Wb+2] raw window counts
                     vals_b = packed[:, :Wb]
                     pep_b = seg[1][:, None] + jnp.arange(
@@ -1516,8 +1523,10 @@ class Scorer:
                 ],
                 axis=1,
             )  # [S_pad, 7]
-            tail = jnp.zeros((1, 7), jnp.float32).at[0, 0].set(
-                total.astype(jnp.float32)
+            tail = (
+                jnp.zeros((1, 7), jnp.float32)
+                .at[0, 0].set(total.astype(jnp.float32))
+                .at[0, 1].set(tail_extra[0].astype(jnp.float32))
             )
             small = jnp.concatenate([rows7, stats, tail], axis=0)
 
@@ -1533,12 +1542,14 @@ class Scorer:
             return small, items7, meta
 
         jitted = jax.jit(run_inner)
+        _zero_tail = jnp.zeros(1, jnp.int32)
 
-        def run(peaks_dev, ints):
+        def run(peaks_dev, ints, seg_outs, tail_extra=None):
             return jitted(
-                s1_tbl,
                 tables.lad2d_full if use_2d else tables.lad_full,
                 lnf32, peaks_dev, ints,
+                _zero_tail if tail_extra is None else tail_extra,
+                *seg_outs,
             )
 
         return run
@@ -1574,6 +1585,31 @@ class Scorer:
             self._plan_sticky[key] = cls
         return cls
 
+    def _narrow_banded_maybe(self, W: int):
+        """The peak-major banded stage 1 (ops/narrow_banded.py), when it
+        pays: wide-enough candidate windows on a large-enough fragment
+        index (the candidate-major compare is cheaper below that)."""
+        import os
+
+        env = os.environ.get("SAGE_TPU_NARROW_BANDED", "")
+        if env == "0" or self.db.fragment_mz_flat is None:
+            return None
+        # Auto gate: the device binary search over the banded fragment
+        # index is HBM-gather-bound (~10-20 ns per probe), so on v5e the
+        # dense candidate-major segments WIN until the window is so wide
+        # that their O(W x L x Pk) compare volume dwarfs the ~2M fixed
+        # probes — measured crossover is far beyond proteome-narrow
+        # shapes. "1" forces (tests / wide-mass regimes).
+        if env != "1" and (
+            W < 4096 or self.db.num_fragments < (1 << 19)
+        ):
+            return None
+        if getattr(self, "_nb", None) is None:
+            from .narrow_banded import NarrowBanded
+
+            self._nb = NarrowBanded(self.db, self.K)
+        return self._nb
+
     def _ksel(self) -> int:
         """Selected rows fetched per spectrum: the reported PSMs, the
         runner-up delta_next needs, plus headroom for isotope-error
@@ -1590,12 +1626,22 @@ class Scorer:
         return p.report_psms + n_iso + 3
 
     def _fused_dispatch(self, spectra, masses, intens, Pk, peaks_dev,
-                        rows=None):
+                        rows=None, timings=None):
         """Try the fused path; returns None when its preconditions don't
         hold (non-uniform row counts, open-search window, huge table).
         ``rows`` may be passed in so a fallback to the classic path
-        doesn't re-expand."""
+        doesn't re-expand.
+
+        ``timings``: optional dict; when given, blocking scalar fetches
+        are inserted after the stage-1 segments and after the merge
+        program, accumulating wall seconds into ``host_prep_s``,
+        ``s1_device_s`` and ``merge_device_s`` (each device term
+        includes one fetch round trip — subtract the link RTT, see
+        bench.py). Zero overhead when None."""
         import os
+        import time as _time
+
+        _t0 = _time.perf_counter() if timings is not None else 0.0
 
         # bit-packing preconditions (see _build_fused's output layout)
         if (
@@ -1621,7 +1667,8 @@ class Scorer:
             return None
         max_win = int((rows["i1"] - rows["i0"]).max())
         W = min(next_power_of_two(max(max_win, 8)), self.tables.P_pad)
-        if self._open_path(W):
+        open_regime = self._open_path(W)
+        if open_regime and os.environ.get("SAGE_TPU_OPEN_SELECT", "1") == "0":
             return None
 
         S_pad = _pad_count(n_spec)
@@ -1635,83 +1682,183 @@ class Scorer:
         )
         G_eff = next_power_of_two(max(int(slot.max()) + 1, 1))
 
-        # 2D (width, ladder-length) class plan: sticky classes, pow2
-        # per-class row counts — the fused program recompiles only when
-        # a class's row count crosses a pow2 boundary
-        width = (rows["i1"] - rows["i0"]).astype(np.int64)
-        lneed = _window_lneed(self.db.table.lens, rows["i0"], rows["i1"])
-        classes = self._sticky_classes(rows, n_rows, W)
-        assign = np.full(n_rows, -1, np.int64)
-        for ci, (Wb, Lcb) in enumerate(classes):
-            m = (assign < 0) & (width <= Wb) & (lneed <= Lcb)
-            assign[m] = ci
-
         cfg = self.params.max_fragment_charge
         cap = np.minimum(rows["z"], cfg + 1) if cfg is not None else rows["z"]
         maxz = np.maximum(cap, 2)
         Zb = min(max(int(maxz.max()) - 1, 1), self.Z)
+        width = (rows["i1"] - rows["i0"]).astype(np.int64)
 
-        plan = []
-        segs = []
-        for ci, (Wb, Lcb) in enumerate(classes):
-            idx = np.flatnonzero(assign == ci)
-            plan.append((Wb, Lcb, next_power_of_two(max(idx.size, 8))))
-            segs.append(idx)
-        plan = tuple(plan)
-        R_tot = sum(p[2] for p in plan)
-        ints = np.zeros((8, R_tot), dtype=np.int32)
-        ints[0] = S_pad  # padding sentinel: scatters to the dump row
-        ints[4] = 2
-        off = 0
-        for (Wb, Lcb, Rb), idx in zip(plan, segs):
-            nb = idx.size
-            sl = slice(off, off + nb)
-            ints[0, sl] = si[idx]
-            ints[1, sl] = np.minimum(
-                rows["i0"][idx], self.tables.P_pad - Wb
+        open_geom = None
+        if open_regime:
+            # open regime: the peak-major open stage 1 produces the same
+            # [R, 2K+2] pseudo-segment layout — host range planning here,
+            # device count + merge/rescore/select exactly as narrow
+            os_ = self._open_searcher()
+            geom = os_._geometry(masses, rows, Zb, None)
+            g_starts, g_lens, Pk_eff, chunked, size, Wc, F_open = geom
+            if os_._find_split(n_spec, size) is not None:
+                # element budget forces sub-batching: classic path owns it
+                return None
+            open_geom = (os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_open)
+
+        nb_obj = None if open_regime else self._narrow_banded_maybe(W)
+        if open_geom is not None or nb_obj is not None:
+            # peak-major banded stage 1: one pseudo-segment covering all
+            # rows in original order (see ops/narrow_banded.py)
+            R_pad = next_power_of_two(max(n_rows, 8))
+            plan = (("banded", R_pad),)
+            ints = np.zeros((8, R_pad), dtype=np.int32)
+            ints[0] = S_pad
+            ints[4] = 2
+            ints[0, :n_rows] = si
+            ints[2, :n_rows] = rows["i0"]
+            ints[3, :n_rows] = rows["i1"]
+            ints[4, :n_rows] = maxz
+            ints[5, :n_rows] = rows["z"]
+            ints[6, :n_rows] = rows["iso"]
+            ints[7, :n_rows] = slot
+        else:
+            # 2D (width, ladder-length) class plan: sticky classes, pow2
+            # per-class row counts — the fused program recompiles only
+            # when a class's row count crosses a pow2 boundary
+            lneed = _window_lneed(
+                self.db.table.lens, rows["i0"], rows["i1"]
             )
-            ints[2, sl] = rows["i0"][idx]
-            ints[3, sl] = rows["i1"][idx]
-            ints[4, sl] = maxz[idx]
-            ints[5, sl] = rows["z"][idx]
-            ints[6, sl] = rows["iso"][idx]
-            ints[7, sl] = slot[idx]
-            off += Rb
+            classes = self._sticky_classes(rows, n_rows, W)
+            assign = np.full(n_rows, -1, np.int64)
+            for ci, (Wb, Lcb) in enumerate(classes):
+                m = (assign < 0) & (width <= Wb) & (lneed <= Lcb)
+                assign[m] = ci
+
+            plan = []
+            segs = []
+            for ci, (Wb, Lcb) in enumerate(classes):
+                idx = np.flatnonzero(assign == ci)
+                plan.append((Wb, Lcb, next_power_of_two(max(idx.size, 8))))
+                segs.append(idx)
+            plan = tuple(plan)
+            R_tot = sum(p[2] for p in plan)
+            ints = np.zeros((8, R_tot), dtype=np.int32)
+            ints[0] = S_pad  # padding sentinel: scatters to the dump row
+            ints[4] = 2
+            off = 0
+            for (Wb, Lcb, Rb), idx in zip(plan, segs):
+                nb = idx.size
+                sl = slice(off, off + nb)
+                ints[0, sl] = si[idx]
+                ints[1, sl] = np.minimum(
+                    rows["i0"][idx], self.tables.P_pad - Wb
+                )
+                ints[2, sl] = rows["i0"][idx]
+                ints[3, sl] = rows["i1"][idx]
+                ints[4, sl] = maxz[idx]
+                ints[5, sl] = rows["z"][idx]
+                ints[6, sl] = rows["iso"][idx]
+                ints[7, sl] = slot[idx]
+                off += Rb
 
         # stage-2 candidate budget: learned from the measured live-item
         # density (grows on overflow, classic rerun covers the batch that
-        # overflowed); the cold estimate assumes ~60% of the summed
-        # window width yields matched candidates, capped at the top-K
-        # merge bound. Pow2 via _pad_count so Bc (a compiled shape)
-        # takes at most a couple of values per run.
+        # overflowed). Quantized to powers of two so Bc — a compiled
+        # shape of the merge program — stays put across batches; stage-2
+        # cost is linear in Bc, so the margin is kept modest.
         k_row = self.K  # merge keeps at most K per spectrum either way
+        cap = k_row * S_pad
         hint = getattr(self, "_bc_hint", None)
         if hint is not None:
             per_spec = hint[0] / max(hint[1], 1)
+            est = int(per_spec * 1.25 * S_pad) + 1024
         else:
             width_per_spec = float(width.sum()) / max(n_spec, 1)
-            per_spec = min(0.6 * width_per_spec + 3.0, float(k_row))
-        Bc = max(
-            _pad_count(int(min(per_spec * 1.3 + 8.0, float(k_row)) * S_pad)),
-            2048,
-        )
+            est = int(
+                min(0.35 * width_per_spec + 3.0, 32.0) * S_pad
+            ) + 1024
+        Bc = min(max(next_power_of_two(est), 4096), _pad_count(cap))
         Ksel = self._ksel()
 
         fn = self._fused(plan, Pk, S_pad, G_eff, Zb, Bc, Ksel)
-        small, items7, meta = fn(peaks_dev, jnp.asarray(ints))
+        # dispatch each stage-1 segment as its own (cached) executable —
+        # measured 3.3x faster than inlining them into the merge program
+        # — with outputs left on device; the merge/rescore/select program
+        # consumes them and only its small output is fetched
+        ints_dev = jnp.asarray(ints)
+        if timings is not None:
+            timings["host_prep_s"] = (
+                timings.get("host_prep_s", 0.0)
+                + _time.perf_counter() - _t0
+            )
+            _t0 = _time.perf_counter()
+        tail_extra = None
+        nb_F = None
+        if open_geom is not None:
+            from .open_search import _device_open_count
+
+            os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_open = open_geom
+            R_pad = plan[0][1]
+            out = _device_open_count(
+                os_.frag_pep8_dev,
+                jnp.asarray(g_starts), jnp.asarray(g_lens),
+                jnp.asarray(ints[0]), jnp.asarray(ints[2]),
+                jnp.asarray(ints[3]), jnp.asarray(ints[4]),
+                F=F_open, Wc=Wc, Pk=Pk_eff, Z=Zb, K=self.K, R=R_pad,
+                chunked=chunked,
+            )
+            seg_outs = [out]
+        elif nb_obj is not None:
+            packed_b, totmax, nb_F = nb_obj.dispatch(
+                peaks_dev, rows, ints_dev, plan[0][1], Zb,
+                self.params.fragment_tol, Pk,
+            )
+            seg_outs = [packed_b]
+            tail_extra = totmax
+        else:
+            seg_outs = []
+            off = 0
+            for (Wb, Lcb, Rb) in plan:
+                fnb, _co = self._stage1(Wb, Pk, Rb, Zb, Lcb)
+                run_b = (
+                    fnb._unpacked if getattr(fnb, "_packed", False) else fnb
+                )
+                seg_outs.append(
+                    run_b(peaks_dev, jax.lax.slice(ints_dev, (0, off),
+                                                   (5, off + Rb)))
+                )
+                off += Rb
+        if timings is not None:
+            import jax as _jax
+
+            _jax.device_get(sum(jnp.sum(o) for o in seg_outs))
+            timings["s1_device_s"] = (
+                timings.get("s1_device_s", 0.0)
+                + _time.perf_counter() - _t0
+            )
+            timings["n_dispatches"] = timings.get("n_dispatches", 0) + 1
+            _t0 = _time.perf_counter()
+        small, items7, meta = fn(peaks_dev, ints_dev, seg_outs, tail_extra)
+        if timings is not None:
+            import jax as _jax
+
+            _jax.device_get(jnp.sum(small))
+            timings["merge_device_s"] = (
+                timings.get("merge_device_s", 0.0)
+                + _time.perf_counter() - _t0
+            )
         small.copy_to_host_async()
         return {
             "fused": small, "items7": items7, "meta": meta,
             "n_rows": n_rows, "n_spec": n_spec, "Bc": Bc, "Ksel": Ksel,
-            "S_pad": S_pad,
+            "S_pad": S_pad, "nb_F": nb_F, "nb_obj": nb_obj,
         }
 
-    # hs32 is a 3-4 term f32 sum whose terms XLA evaluates within a few
-    # ulps; at |hyperscore| <= ~3000 that bounds the f32/f64 divergence
-    # well under 1e-2. The guard margin is ~5x that bound: a spectrum
-    # only falls back when candidates straddle the selection boundary
-    # within EPS of each other.
-    SELECT_EPS = 0.05
+    # The device's hs32 and the host's f64 hyperscore consume the SAME
+    # fetched f32 (mb, my, sb, sy), so their divergence is pure rounding:
+    # a 3-4 term sum of log/table values each within ~2 ulps, bounded by
+    # ~6 ulps of the result magnitude (|hyperscore| <= ~700 in practice,
+    # ulp ~ 6e-5). EPS = 2e-3 is a >10x margin; a spectrum only falls
+    # back when distinct candidates straddle the selection boundary
+    # within EPS — exact ties at the boundary included, since the guard
+    # cannot prove the unfetched twin identical.
+    SELECT_EPS = 2e-3
 
     def _fused_finalize(self, spectra, d, masses, intens, Pk):
         """Unpack the fused-select fetch into the final FeatureTable;
@@ -1736,6 +1883,17 @@ class Scorer:
         self._bc_hint = (total, n_spec)
         if total > d["Bc"]:
             return None
+        if d.get("nb_F") is not None:
+            totmax = int(packed[-1, 1])
+            if totmax >= d["nb_F"]:
+                # banded entry capacity overflowed: results may have been
+                # truncated — grow F and rerun via the classic path
+                d["nb_obj"].grow_F(totmax)
+                log.info(
+                    "banded narrow stage-1 entry capacity %d exceeded "
+                    "(max %d); growing", d["nb_F"], totmax,
+                )
+                return None
         rows7 = packed[: S_pad * Ksel].reshape(S_pad, Ksel, 7)[:n_spec]
         stats = packed[S_pad * Ksel : S_pad * Ksel + S_pad][:n_spec]
 
@@ -1818,7 +1976,7 @@ class Scorer:
         if failed.size:
             self._select_fallback(
                 failed, d, n_ok, r_psms, cols, hs_s, delta_next,
-                delta_best,
+                delta_best, offs=offs, cnt=cnt,
             )
 
         ri, ci = np.nonzero(rep_mask)
@@ -1844,23 +2002,58 @@ class Scorer:
 
     def _select_fallback(
         self, failed, d, n_ok, r_psms, cols, hs_s, delta_next, delta_best,
+        offs=None, cnt=None,
     ):
         """Recompute the reported rows of guard-failed spectra from the
-        untruncated on-device candidate arrays (one fetch, amortized over
-        every failed spectrum in the batch), overwriting the fetched-row
-        views in place. Statistically rare: requires candidates within
-        SELECT_EPS of each other straddling the Ksel boundary."""
+        untruncated on-device candidate arrays, overwriting the
+        fetched-row views in place. Statistically rare (requires
+        candidates within SELECT_EPS of each other straddling the Ksel
+        boundary), and cheap when it happens: only the failed spectra's
+        compact ranges are gathered on device and fetched in ONE round
+        trip, not the whole Bc-sized arrays."""
         log.debug(
             "select guard: %d spectra fall back to the full candidate "
             "list", failed.size,
         )
-        items7 = np.asarray(_dget(d["items7"]))
-        meta = np.asarray(_dget(d["meta"]))
+        self.select_fallback_spectra = (
+            getattr(self, "select_fallback_spectra", 0) + int(failed.size)
+        )
         p = self.params
         min_m = p.min_matched_peaks
+        if offs is not None and cnt is not None:
+            # flat item indices of every failed spectrum's compact range
+            take_idx = np.concatenate(
+                [np.arange(offs[s], offs[s] + cnt[s]) for s in failed]
+            ) if failed.size else np.zeros(0, np.int64)
+            # floor of 4096 keeps the gather program's compiled shape
+            # stable across fallback occurrences
+            Np = next_power_of_two(max(int(take_idx.size), 4096))
+            idx_pad = np.zeros(Np, np.int64)
+            idx_pad[: take_idx.size] = take_idx
+            gkey = ("selgather", Np)
+            if gkey not in self._stage2_cache:
+                self._stage2_cache[gkey] = jax.jit(
+                    lambda a, b, i: jnp.concatenate(
+                        [a[i], b[i].astype(jnp.float32)], axis=1
+                    )
+                )
+            both = np.asarray(_dget(self._stage2_cache[gkey](
+                d["items7"], d["meta"], jnp.asarray(idx_pad)
+            )))[: take_idx.size]
+            items7 = np.zeros((int(take_idx.max(initial=0)) + 1, 7),
+                              np.float32)
+            meta = np.zeros((items7.shape[0], 4), np.int32)
+            items7[take_idx] = both[:, :7]
+            meta[take_idx] = both[:, 7:].astype(np.int32)
+        else:  # pragma: no cover - legacy full fetch
+            items7 = np.asarray(_dget(d["items7"]))
+            meta = np.asarray(_dget(d["meta"]))
         for s in failed:
-            c_spec = meta[:, 3]
-            sel = np.flatnonzero(c_spec == s)
+            sel = (
+                np.arange(offs[s], offs[s] + cnt[s])
+                if offs is not None
+                else np.flatnonzero(meta[:, 3] == s)
+            )
             if sel.size == 0:
                 continue
             f_mb = items7[sel, 0].astype(np.int32)
