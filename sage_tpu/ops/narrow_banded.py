@@ -41,12 +41,15 @@ import jax
 import jax.numpy as jnp
 
 from .open_search import V_ROW, _open_count_core, _quarter_octave
+from .pallas_sort import use_pallas_sort
 from .search import tol_bounds_static
 
 
 @partial(
     jax.jit,
-    static_argnames=("F", "Pk", "Zb", "K", "R", "nbcov", "tol", "nstep"),
+    static_argnames=(
+        "F", "Pk", "Zb", "K", "R", "nbcov", "tol", "nstep", "psort",
+    ),
 )
 def _banded_count(
     frag_mz,     # f32 [N_pad] (band, m/z)-sorted fragment masses
@@ -54,7 +57,7 @@ def _banded_count(
     peaks_dev,   # f32 [2, B, Pk] (masses, intensities; +inf pad)
     bb,          # i32 [B, nbcov, 2] covered-band segment bounds [lo, hi)
     ints,        # i32 [8, R] query rows (spec, p0, i0, i1, maxz, z, iso, slot)
-    *, F, Pk, Zb, K, R, nbcov, tol, nstep,
+    *, F, Pk, Zb, K, R, nbcov, tol, nstep, psort=False,
 ):
     """Packed i32 [R, 2K+2] per-row top-K (vals, pep, mtot, scored) plus
     the true max per-spectrum entry count (the F-overflow signal)."""
@@ -109,6 +112,7 @@ def _banded_count(
         frag_pep8, starts, lens,
         ints[0], ints[2], ints[3], ints[4],
         F=F, Wc=8, Pk=nbcov * Pk, Z=Zb, K=K, R=R, chunked=False,
+        psort=psort,
     )
     packed = jnp.concatenate(
         [vals, cand, mtot[:, None], scored[:, None]], axis=1
@@ -125,6 +129,7 @@ class NarrowBanded:
     def __init__(self, db, K: int):
         n = int(db.fragment_pep_flat.shape[0])
         n_pep = len(db)
+        self.n_pep = n_pep
         bw = int(os.environ.get("SAGE_TPU_NARROW_BAND_W", "2048"))
         self.band_w = max(bw, 8)
         self.n_bands = max(-(-n_pep // self.band_w), 1)
@@ -207,6 +212,6 @@ class NarrowBanded:
             self.frag_mz_dev, self.frag_pep8_dev, peaks_dev,
             jnp.asarray(bb), ints_dev,
             F=F, Pk=Pk, Zb=Zb, K=self.K, R=R, nbcov=nbcov, tol=tol,
-            nstep=self.nstep,
+            nstep=self.nstep, psort=use_pallas_sort(F, self.n_pep),
         )
         return packed, totmax, F

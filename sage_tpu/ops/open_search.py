@@ -49,6 +49,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .pallas_sort import use_pallas_sort
+
 F32 = np.float32
 
 # row-aligned gather geometry: each slot of the dense layout fetches one
@@ -178,7 +180,7 @@ def _open_count_core(
     row_i0,        # i32 [R] precursor candidate range
     row_i1,        # i32 [R]
     row_maxz,      # i32 [R] exclusive fragment-charge bound
-    *, F, Wc, Pk, Z, K, R, chunked,
+    *, F, Wc, Pk, Z, K, R, chunked, psort=False,
 ):
     """Traceable core of the peak-major preliminary count. Returns
     (vals [R, K], cand [R, K], matched_total [R], scored [R])."""
@@ -189,20 +191,53 @@ def _open_count_core(
         neg, z_of = _entries_flat(frag_pep8, starts, lens, F, Pk, Z)
     # ---- sort per spectrum by peptide DESCENDING; padding/slop sorts to
     # the tail, so the axis can be cut back to F (> any true entry count)
-    if z_of is None:
+    if psort:
+        # in-VMEM bitonic kernel (pallas_sort.py): one i32 key per
+        # entry, z tag bit-packed into the low 5 bits. Entry order
+        # within one peptide run differs from lax.sort's, which cannot
+        # change any count (runs are delimited by peptide boundaries and
+        # z-masking is per-element).
+        from .pallas_sort import bitonic_sort_rows
+
+        SENT = np.int32(2**31 - 1)
+        PMAX = np.int32(1 << 25)  # callers gate n_pep < 2^25
+        pep_e = jnp.where(neg < 2**30, -neg, np.int32(-1))
+        valid_e = pep_e >= 0
+        if z_of is None:
+            key = jnp.where(valid_e, PMAX - pep_e, SENT)
+        else:
+            key = jnp.where(
+                valid_e, ((PMAX - pep_e) << 5) | z_of, SENT
+            )
+        key_s = bitonic_sort_rows(key)[:, :F]
+        valid_s = key_s != SENT
+        if z_of is None:
+            pep_sorted = jnp.where(valid_s, PMAX - key_s, np.int32(-1))
+            z_sorted = None
+        else:
+            pep_sorted = jnp.where(
+                valid_s, PMAX - (key_s >> 5), np.int32(-1)
+            )
+            z_sorted = jnp.where(valid_s, key_s & 31, 0)
+    elif z_of is None:
         # single fragment-charge plane: every entry's z tag is 1 and the
         # per-row bound is always >= 2, so the tag (and its extra sort
         # operand) is dead — sort the peptide key alone.
         (neg_sorted,) = jax.lax.sort((neg,), dimension=1, num_keys=1)
         neg_sorted = neg_sorted[:, :F]
         z_sorted = None
+        pep_sorted = jnp.where(
+            neg_sorted < 2**30, -neg_sorted, np.int32(-1)
+        )
     else:
         neg_sorted, z_sorted = jax.lax.sort(
             (neg, z_of), dimension=1, num_keys=1
         )
         neg_sorted = neg_sorted[:, :F]
         z_sorted = z_sorted[:, :F]
-    pep_sorted = jnp.where(neg_sorted < 2**30, -neg_sorted, np.int32(-1))
+        pep_sorted = jnp.where(
+            neg_sorted < 2**30, -neg_sorted, np.int32(-1)
+        )
 
     run_start = jnp.concatenate(
         [
@@ -240,15 +275,17 @@ def _open_count_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("F", "Wc", "Pk", "Z", "K", "R", "chunked")
+    jax.jit,
+    static_argnames=("F", "Wc", "Pk", "Z", "K", "R", "chunked", "psort"),
 )
 def _device_open_count(
     frag_pep8, starts, lens, row_spec, row_i0, row_i1, row_maxz,
-    *, F, Wc, Pk, Z, K, R, chunked,
+    *, F, Wc, Pk, Z, K, R, chunked, psort=False,
 ):
     vals, cand, mtot, scored = _open_count_core(
         frag_pep8, starts, lens, row_spec, row_i0, row_i1, row_maxz,
         F=F, Wc=Wc, Pk=Pk, Z=Z, K=K, R=R, chunked=chunked,
+        psort=psort,
     )
     return jnp.concatenate(
         [vals, cand, mtot[:, None], scored[:, None]], axis=1
@@ -310,6 +347,7 @@ class OpenSearcher:
         self.frag_tol = frag_tol
         n = db.fragment_pep_flat.shape[0]
         n_pep = len(db)
+        self.n_pep = n_pep
         env = os.environ.get("SAGE_TPU_OPEN_BANDS")
         nb = int(env) if env else self._auto_bands(db, precursor_tol)
         nb = max(min(nb, max(n_pep, 1)), 1)
@@ -554,7 +592,7 @@ class OpenSearcher:
             jnp.asarray(row_i1),
             jnp.asarray(maxz),
             F=F, Wc=Wc, Pk=Pk_eff, Z=Zb, K=self.K, R=R,
-            chunked=chunked,
+            chunked=chunked, psort=use_pallas_sort(F, self.n_pep),
         )
         out.copy_to_host_async()
         return out  # device handle; caller device_gets at finalize time

@@ -1625,6 +1625,17 @@ class Scorer:
         n_iso = max(p.max_isotope_err - p.min_isotope_err + 1, 1)
         return p.report_psms + n_iso + 3
 
+    def _ksel_open(self) -> int:
+        """Open-search selection depth: wide windows yield dense
+        near-tie clusters at the boundary (hundreds of co-matching
+        candidates), so a deeper fetch sharply cuts guard fallbacks."""
+        import os
+
+        env = os.environ.get("SAGE_TPU_KSEL_OPEN")
+        if env:
+            return max(int(env), self.params.report_psms + 1)
+        return self._ksel() + 5
+
     def _fused_dispatch(self, spectra, masses, intens, Pk, peaks_dev,
                         rows=None, timings=None):
         """Try the fused path; returns None when its preconditions don't
@@ -1692,17 +1703,98 @@ class Scorer:
         if open_regime:
             # open regime: the peak-major open stage 1 produces the same
             # [R, 2K+2] pseudo-segment layout — host range planning here,
-            # device count + merge/rescore/select exactly as narrow
+            # device count + merge/rescore/select exactly as narrow. A
+            # p75 size-class split (or element-budget split) becomes TWO
+            # pseudo-segments, each counted at its own entry capacity —
+            # the merge scatter reassembles them by (spectrum, slot).
             os_ = self._open_searcher()
             geom = os_._geometry(masses, rows, Zb, None)
             g_starts, g_lens, Pk_eff, chunked, size, Wc, F_open = geom
-            if os_._find_split(n_spec, size) is not None:
-                # element budget forces sub-batching: classic path owns it
-                return None
-            open_geom = (os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_open)
+            split = os_._find_split(n_spec, size)
+            if split is not None:
+                # one split level is expressible as two pseudo-segments;
+                # anything needing deeper recursion goes classic
+                for s_ids in (np.flatnonzero(split),
+                              np.flatnonzero(~split)):
+                    if s_ids.size and (
+                        s_ids.size * (int(size[s_ids].max()) + 1)
+                        > os_.MAX_ELEMENTS
+                    ):
+                        return None
+            open_geom = (
+                os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_open, split,
+                size,
+            )
 
         nb_obj = None if open_regime else self._narrow_banded_maybe(W)
-        if open_geom is not None or nb_obj is not None:
+        open_segs = None
+        if open_geom is not None:
+            from .open_search import V_ROW as V_ROW_OS
+            from .open_search import _quarter_octave
+
+            (os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_all, split,
+             size) = open_geom
+            totals = g_lens.sum(axis=1)
+            sides = (
+                [np.arange(n_spec)] if split is None
+                else [np.flatnonzero(split), np.flatnonzero(~split)]
+            )
+            open_segs = []
+            plan_l = []
+            parts = []
+            for spec_ids in sides:
+                sel_rows = np.isin(si, spec_ids)
+                rows_idx = np.flatnonzero(sel_rows)
+                R_b = next_power_of_two(max(rows_idx.size, 8))
+                if chunked:
+                    tc_b = size[spec_ids] // max(V_ROW_OS, 1)
+                    Wc_b = _quarter_octave(max(int(tc_b.max(initial=8)), 8))
+                else:
+                    Wc_b = 8
+                F_b = _quarter_octave(
+                    int(totals[spec_ids].max(initial=0)) + 1
+                )
+                F_b = ((max(F_b, self.K, 128) + 127) // 128) * 128
+                if chunked:
+                    F_b = min(F_b, Wc_b * V_ROW_OS)
+                remap = np.full(n_spec, -1, np.int64)
+                remap[spec_ids] = np.arange(spec_ids.size)
+                lspec = np.full(R_b, spec_ids.size, np.int32)  # sentinel
+                li0 = np.zeros(R_b, np.int32)
+                li1 = np.zeros(R_b, np.int32)
+                lmz = np.full(R_b, 2, np.int32)
+                nb_r = rows_idx.size
+                lspec[:nb_r] = remap[si[rows_idx]]
+                li0[:nb_r] = rows["i0"][rows_idx]
+                li1[:nb_r] = rows["i1"][rows_idx]
+                lmz[:nb_r] = maxz[rows_idx]
+                open_segs.append({
+                    "os": os_, "spec_ids": spec_ids, "rows_idx": rows_idx,
+                    "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
+                    "chunked": chunked, "Pk_eff": Pk_eff,
+                    "starts": g_starts[spec_ids], "lens": g_lens[spec_ids],
+                    "lspec": lspec, "li0": li0, "li1": li1, "lmz": lmz,
+                })
+                plan_l.append(("banded", R_b))
+                parts.append(rows_idx)
+            plan = tuple(plan_l)
+            R_tot = sum(p[1] for p in plan)
+            ints = np.zeros((8, R_tot), dtype=np.int32)
+            ints[0] = S_pad
+            ints[4] = 2
+            off = 0
+            for seg, rows_idx in zip(open_segs, parts):
+                nb_r = rows_idx.size
+                sl = slice(off, off + nb_r)
+                ints[0, sl] = si[rows_idx]
+                ints[2, sl] = rows["i0"][rows_idx]
+                ints[3, sl] = rows["i1"][rows_idx]
+                ints[4, sl] = maxz[rows_idx]
+                ints[5, sl] = rows["z"][rows_idx]
+                ints[6, sl] = rows["iso"][rows_idx]
+                ints[7, sl] = slot[rows_idx]
+                off += seg["R_b"]
+        elif nb_obj is not None:
             # peak-major banded stage 1: one pseudo-segment covering all
             # rows in original order (see ops/narrow_banded.py)
             R_pad = next_power_of_two(max(n_rows, 8))
@@ -1774,7 +1866,7 @@ class Scorer:
                 min(0.35 * width_per_spec + 3.0, 32.0) * S_pad
             ) + 1024
         Bc = min(max(next_power_of_two(est), 4096), _pad_count(cap))
-        Ksel = self._ksel()
+        Ksel = self._ksel_open() if open_regime else self._ksel()
 
         fn = self._fused(plan, Pk, S_pad, G_eff, Zb, Bc, Ksel)
         # dispatch each stage-1 segment as its own (cached) executable —
@@ -1790,20 +1882,21 @@ class Scorer:
             _t0 = _time.perf_counter()
         tail_extra = None
         nb_F = None
-        if open_geom is not None:
+        if open_segs is not None:
             from .open_search import _device_open_count
+            from .pallas_sort import use_pallas_sort
 
-            os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_open = open_geom
-            R_pad = plan[0][1]
-            out = _device_open_count(
-                os_.frag_pep8_dev,
-                jnp.asarray(g_starts), jnp.asarray(g_lens),
-                jnp.asarray(ints[0]), jnp.asarray(ints[2]),
-                jnp.asarray(ints[3]), jnp.asarray(ints[4]),
-                F=F_open, Wc=Wc, Pk=Pk_eff, Z=Zb, K=self.K, R=R_pad,
-                chunked=chunked,
-            )
-            seg_outs = [out]
+            seg_outs = []
+            for seg in open_segs:
+                seg_outs.append(_device_open_count(
+                    seg["os"].frag_pep8_dev,
+                    jnp.asarray(seg["starts"]), jnp.asarray(seg["lens"]),
+                    jnp.asarray(seg["lspec"]), jnp.asarray(seg["li0"]),
+                    jnp.asarray(seg["li1"]), jnp.asarray(seg["lmz"]),
+                    F=seg["F_b"], Wc=seg["Wc_b"], Pk=seg["Pk_eff"],
+                    Z=Zb, K=self.K, R=seg["R_b"], chunked=seg["chunked"],
+                    psort=use_pallas_sort(seg["F_b"], seg["os"].n_pep),
+                ))
         elif nb_obj is not None:
             packed_b, totmax, nb_F = nb_obj.dispatch(
                 peaks_dev, rows, ints_dev, plan[0][1], Zb,

@@ -535,6 +535,198 @@ class ShardedSearch:
 
         return run
 
+    # ------------------------------------------------------------------
+    # Banded open search: the fragment index sharded along "model"
+    # ------------------------------------------------------------------
+
+    def _open_tables(self):
+        """Per-shard fragment index: entries partitioned by OWNING model
+        shard (peptide-range bands — the band key IS the mass-range
+        shard key), m/z-sorted within each shard, padded to a uniform
+        width and device_put sharded along "model". The TPU realization
+        of the north star's "fragment index mass-range sharded for open
+        search" (database.rs:480-536)."""
+        if getattr(self, "_open_tbl", None) is None:
+            from ..ops.open_search import V_ROW
+
+            db = self.db
+            assert db.fragment_mz_flat is not None, (
+                "banded open sharding needs the flat fragment index"
+            )
+            n_model = self.mesh.shape["model"]
+            P_local = self.tables.P_pad // n_model
+            pep = db.fragment_pep_flat.astype(np.int32)
+            mz = db.fragment_mz_flat
+            shard = np.minimum(pep // np.int32(P_local), n_model - 1)
+            order = np.argsort(shard, kind="stable")  # keeps m/z order
+            pep_s = pep[order]
+            mz_s = mz[order]
+            counts = np.bincount(shard, minlength=n_model)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            N_l = max(
+                ((int(counts.max()) + V_ROW - 1) // V_ROW) * V_ROW,
+                2 * V_ROW,
+            )
+            pep_pad = np.full((n_model, N_l), -1, np.int32)
+            segs = []
+            for m in range(n_model):
+                c = int(counts[m])
+                pep_pad[m, :c] = pep_s[offs[m] : offs[m + 1]]
+                segs.append(mz_s[offs[m] : offs[m + 1]])
+            dev = jax.device_put(
+                jnp.asarray(pep_pad.reshape(n_model, N_l // V_ROW, V_ROW)),
+                NamedSharding(self.mesh, P("model", None, None)),
+            )
+            self._open_tbl = (dev, segs, N_l)
+        return self._open_tbl
+
+    def open_ranges(self, masses):
+        """Host planning: per (shard, spectrum, z, peak) in-tolerance
+        fragment ranges over each shard's m/z-sorted segment — the exact
+        f32 window semantics of the single-device open ranges
+        (ops/open_search.py OpenSearcher.ranges). masses: [B, Pk] peak
+        masses (+inf padded). Returns (starts, lens) i32
+        [M, B, Z*Pk]."""
+        _, segs, _ = self._open_tables()
+        M = len(segs)
+        B, Pk = masses.shape
+        Z = self.Z
+        starts = np.zeros((M, B, Z * Pk), np.int32)
+        lens = np.zeros((M, B, Z * Pk), np.int32)
+        for zi in range(Z):
+            q = (masses * np.float32(zi + 1)).astype(np.float32)
+            with np.errstate(invalid="ignore"):
+                lo, hi = self.frag_tol.bounds(q)
+            bad = ~np.isfinite(lo) | ~np.isfinite(hi)
+            col = slice(zi * Pk, (zi + 1) * Pk)
+            for m in range(M):
+                seg = segs[m]
+                if seg.size == 0:
+                    continue
+                hit = ~bad & (hi >= seg[0]) & (lo <= seg[-1])
+                s = np.zeros(lo.shape, np.int64)
+                e = np.zeros(lo.shape, np.int64)
+                if hit.any():
+                    s[hit] = np.searchsorted(seg, lo[hit], side="left")
+                    e[hit] = np.searchsorted(seg, hi[hit], side="right")
+                starts[m, :, col] = s.astype(np.int32)
+                lens[m, :, col] = np.maximum(e - s, 0).astype(np.int32)
+        return starts, lens
+
+    def _build_open(self, R: int, Pk: int, B: int, F: int, Bc: int):
+        """Mass-range-sharded banded open search step: each model shard
+        runs the peak-major gather/sort/run-length count
+        (ops/open_search._open_count_core) over ITS fragment segment —
+        counts per peptide are complete locally because a peptide's
+        entries live wholly in one shard — then the per-shard top-K
+        merges with the same all_gather + 2-key sort as the windowed
+        path, and the owner-computes compacted stage 2 is shared
+        verbatim. Bitwise-equal to the single-device banded open path
+        for any mesh shape.
+
+        The [B, F] entry sort is replicated across the "data" axis
+        (each data shard counts only its own query rows against it);
+        model parallelism carries the open regime's dominant cost (the
+        per-shard entry volume), data parallelism the per-row work."""
+        from ..ops.open_search import _open_count_core
+
+        mesh = self.mesh
+        tables = self.tables
+        Z = self.Z
+        K = self.K
+        n_model = mesh.shape["model"]
+        n_data = mesh.shape["data"]
+        P_local = tables.P_pad // n_model
+        R_l = R // n_data
+
+        def local_shard(
+            peaks, intens, si, i0, i1, maxz,
+            pep8, starts, lens_r,
+            resmass, nterm, mono, lens_t,
+        ):
+            shard_id = jax.lax.axis_index("model")
+            base = shard_id.astype(jnp.int32) * P_local
+            vals, pep, mtot, scored = _open_count_core(
+                pep8[0], starts[0], lens_r[0],
+                si, i0, i1, maxz,
+                F=F, Wc=8, Pk=Pk, Z=Z, K=K, R=R_l, chunked=False,
+            )
+            pep = jnp.where(vals > 0, pep, -1)
+            mtot = jax.lax.psum(mtot, "model")
+            scored = jax.lax.psum(scored, "model")
+            allv = jax.lax.all_gather(vals, "model", axis=1, tiled=True)
+            allp = jax.lax.all_gather(pep, "model", axis=1, tiled=True)
+            sc, sp = jax.lax.sort((-allv, -allp), dimension=1, num_keys=2)
+            gvals = -sc[:, :K]
+            gpep = -sp[:, :K]
+            feats, nl = self._owner_stage2(
+                gvals, gpep, peaks, intens, maxz, base,
+                resmass, nterm, mono, lens_t, Bc, R_l,
+            )
+            return (gvals, gpep) + feats + (mtot, scored, nl[None])
+
+        fn = shard_map(
+            local_shard,
+            mesh=mesh,
+            in_specs=(
+                P("data", None), P("data", None),
+                P("data"), P("data"), P("data"), P("data"),
+                P("model", None, None),
+                P("model", None, None), P("model", None, None),
+                P("model", None), P("model"), P("model"), P("model"),
+            ),
+            out_specs=(
+                (P("data", None),) * 9 + (P("data"), P("data"), P("data"))
+            ),
+            check_vma=False,
+        )
+        jitted = jax.jit(fn)
+
+        def run(peaks, intens, si, i0, i1, maxz, starts, lens_r):
+            t = self.tables
+            dev, _, _ = self._open_tables()
+            return jitted(
+                peaks, intens, si, i0, i1, maxz,
+                dev, starts, lens_r,
+                t.resmass, t.nterm, t.mono, t.lens,
+            )
+
+        return run
+
+    def open_dispatch(self, peaks, intens, si, i0, i1, maxz, masses):
+        """Async banded open step: host range planning + mesh dispatch,
+        no fetch (same contract as windowed_dispatch). ``masses`` is the
+        per-SPECTRUM [B, Pk] peak array (ranges are planned once per
+        spectrum; rows reference them through ``si``)."""
+        from ..ops.open_search import _quarter_octave
+
+        R, Pk = peaks.shape
+        B = masses.shape[0]
+        starts, lens_r = self.open_ranges(masses)
+        per_shard_max = lens_r.sum(axis=2).max()
+        F = _quarter_octave(int(per_shard_max) + 1)
+        F = ((max(F, self.K, 128) + 127) // 128) * 128
+        key = ("bc_open", R, Pk)
+        Bc = self._fn_cache.get(key, self._initial_bc(R))
+        fkey = ("open", R, Pk, B, F, Bc)
+        if fkey not in self._fn_cache:
+            self._fn_cache[fkey] = self._build_open(R, Pk, B, F, Bc)
+        starts_dev = jax.device_put(
+            jnp.asarray(starts), NamedSharding(self.mesh, P("model", None, None))
+        )
+        lens_dev = jax.device_put(
+            jnp.asarray(lens_r), NamedSharding(self.mesh, P("model", None, None))
+        )
+        out = self._fn_cache[fkey](
+            peaks, intens, si, i0, i1, maxz, starts_dev, lens_dev
+        )
+        return {
+            "out": out, "Bc": Bc, "bc_key": key,
+            "kind": ("open", B, F),
+            "args": (peaks, intens, si, i0, i1, maxz, starts_dev,
+                     lens_dev),
+        }
+
     def windowed_step(self, peaks, intens, i0, i1, maxz, W: int):
         """Windowed sharded search step (narrow regime): query windows
         are [i0, i1) peptide-INDEX ranges (i32 [R]), W the static pow2
@@ -583,6 +775,13 @@ class ShardedSearch:
                 if fkey not in self._fn_cache:
                     self._fn_cache[fkey] = self._build_windowed(
                         R, Pk, d["kind"][1], Bc
+                    )
+            elif d["kind"][0] == "open":
+                _, B, F = d["kind"]
+                fkey = ("open", R, Pk, B, F, Bc)
+                if fkey not in self._fn_cache:
+                    self._fn_cache[fkey] = self._build_open(
+                        R, Pk, B, F, Bc
                     )
             else:
                 fkey = ("full", R, Pk, Bc)
@@ -828,6 +1027,24 @@ class ShardedScorer:
             i1[:n_rows] = rows["i1"]
             d = self.search.windowed_dispatch(
                 peaks_r, intens_r, i0, i1, maxz, W
+            )
+        elif (
+            self.db.fragment_mz_flat is not None
+            and os.environ.get("SAGE_TPU_SHARD_OPEN", "1") != "0"
+        ):
+            # open regime: the BANDED fragment-index open search, mass-
+            # range sharded along "model" (the band key IS the shard
+            # key) — each shard gather/sort/run-length counts its own
+            # fragment segment (ops/open_search core), merged like the
+            # windowed path
+            i0 = np.zeros(R, np.int32)
+            i1 = np.zeros(R, np.int32)
+            si_r = np.zeros(R, np.int32)
+            i0[:n_rows] = rows["i0"]
+            i1[:n_rows] = rows["i1"]
+            si_r[:n_rows] = rows["si"]
+            d = self.search.open_dispatch(
+                peaks_r, intens_r, si_r, i0, i1, maxz, masses
             )
         else:
             # open regime: whole-table scan per shard with f32 mass-range

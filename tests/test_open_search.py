@@ -152,6 +152,68 @@ def test_open_search_subbatch_split(db, monkeypatch):
         )
 
 
+def test_open_select_two_segment_split(db, monkeypatch):
+    """A single budget-split level runs as TWO pseudo-segments through
+    the on-device merge/select program (no classic fallback), and must
+    match the unsplit result byte-for-byte."""
+    from sage_tpu.ops import open_search as osmod
+
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        min_isotope_err=-1, max_isotope_err=1,
+    )
+    spectra = _spectra(db, 24, seed=21)
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    s_whole = Scorer(db, sp)
+    t_whole = s_whole.score_table(spectra)
+    # a budget that forces exactly one split level (each half fits):
+    # just under the whole batch's footprint, far above either half's
+    os_ = s_whole._open_searcher()
+    masses, _, _ = s_whole._pad_peaks(spectra)
+    rows = s_whole._expand_rows(spectra)
+    *_, size, _, _ = os_._geometry(masses, rows, s_whole.Z, None)
+    whole_fp = len(spectra) * (int(size.max()) + 1)
+    monkeypatch.setattr(osmod.OpenSearcher, "MAX_ELEMENTS", whole_fp - 1)
+    s_split = Scorer(db, sp)
+    t_split = s_split.score_table(spectra)
+    assert getattr(s_split, "fused_reruns", 0) == 0, (
+        "split batch fell back to classic; two-segment path not exercised"
+    )
+    assert len(t_split) == len(t_whole) > 0
+    for k in t_whole.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_split.columns[k], t_whole.columns[k], err_msg=f"column {k}"
+        )
+
+
+def test_open_pallas_sort_equivalence(db, monkeypatch):
+    """The in-VMEM bitonic sort path (bit-packed keys) must reproduce
+    the lax.sort path exactly, including multi-charge z tags."""
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        min_isotope_err=-1, max_isotope_err=1,
+        min_precursor_charge=2, max_precursor_charge=3,
+        override_precursor_charge=True,
+    )
+    spectra = _spectra(db, 12, seed=5)
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    monkeypatch.setenv("SAGE_TPU_PSORT", "0")
+    t_lax = Scorer(db, sp).score_table(spectra)
+    monkeypatch.setenv("SAGE_TPU_PSORT", "1")
+    t_psort = Scorer(db, sp).score_table(spectra)
+    assert len(t_psort) == len(t_lax) > 0
+    for k in t_lax.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_psort.columns[k], t_lax.columns[k], err_msg=f"column {k}"
+        )
+
+
 def test_open_search_banding_invariant(db, monkeypatch):
     """The band-segmented index layout (sorted by (peptide-mass band,
     m/z)) must be result-invariant for any band count: counting masks by

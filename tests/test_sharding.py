@@ -147,13 +147,17 @@ def test_full_step_matches_scorer_stage2(db, queries):
 
 
 @pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8)])
-@pytest.mark.parametrize("path", ["windowed", "full"])
+@pytest.mark.parametrize("path", ["windowed", "full", "banded"])
 def test_sharded_scorer_matches_single_device(db, shape, path, monkeypatch):
     """ShardedScorer.score_table must equal the single-device Scorer's
-    FeatureTable bitwise, for any mesh shape, on BOTH the windowed
-    (narrow) and whole-table (open) sharded stage-1 paths."""
+    FeatureTable bitwise, for any mesh shape, on the windowed (narrow),
+    whole-table (legacy open), and BANDED open (fragment index
+    mass-range sharded along "model") stage-1 paths."""
     monkeypatch.setenv(
         "SAGE_TPU_SHARD_WINDOWED", "1" if path == "windowed" else "0"
+    )
+    monkeypatch.setenv(
+        "SAGE_TPU_SHARD_OPEN", "1" if path == "banded" else "0"
     )
     import dataclasses
 
@@ -203,6 +207,70 @@ def test_sharded_scorer_matches_single_device(db, shape, path, monkeypatch):
     t_single = Scorer(db, params).score_table(spectra)
     mesh = make_mesh(*shape)
     t_mesh = ShardedScorer(db, mesh, params).score_table(spectra)
+    assert len(t_mesh) == len(t_single) > 0
+    for k in t_single.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_mesh.columns[k], t_single.columns[k], err_msg=f"column {k}"
+        )
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
+def test_sharded_open_regime_banded_default(db, shape, monkeypatch):
+    """A genuinely wide precursor window (true open regime, windowed
+    gate fails naturally) must route to the mass-range-sharded banded
+    open path by default and match the single-device result bitwise."""
+    import jax
+
+    if len(jax.devices()) < shape[0] * shape[1]:
+        pytest.skip("not enough devices")
+
+    from sage_tpu.chem.mass import PROTON
+    from sage_tpu.ops.search import Scorer, SearchParams
+    from sage_tpu.parallel.sharding import ShardedScorer
+    from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum
+
+    rng = np.random.default_rng(11)
+    b, y = db.table.ladders()
+    targets = np.flatnonzero(db.table.lens >= 8)
+    spectra = []
+    for i in range(8):
+        p = int(rng.choice(targets))
+        n = int(db.table.lens[p]) - 1
+        frags = np.concatenate([b[p, :n], y[p, :n]])
+        take = frags[rng.random(frags.shape[0]) < 0.8]
+        masses = np.sort(take.astype(np.float32))
+        intens = rng.uniform(1.0, 1e5, masses.shape[0]).astype(np.float32)
+        spectra.append(
+            ProcessedSpectrum(
+                level=2, id=f"scan={i}", file_id=0,
+                scan_start_time=0.1 * i, ion_injection_time=1.0,
+                precursors=[
+                    Precursor(mz=float(db.table.mono[p]) / 2 + PROTON,
+                              charge=2)
+                ],
+                masses=masses, intensities=intens,
+                mobilities=np.zeros(0, np.float32),
+                total_ion_current=np.float32(intens.sum()),
+            )
+        )
+    params = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        report_psms=2, min_matched_peaks=2,
+    )
+    # the tiny test db can still fit a +-300 Da window in one shard's
+    # peptide range at small model axes; disable the windowed gate so
+    # the banded open kernel is exercised at every shape
+    monkeypatch.setenv("SAGE_TPU_SHARD_WINDOWED", "0")
+    t_single = Scorer(db, params).score_table(spectra)
+    mesh = make_mesh(*shape)
+    sc = ShardedScorer(db, mesh, params)
+    t_mesh = sc.score_table(spectra)
+    # the open (banded) kernel must actually have been used
+    assert any(k[0] == "open" for k in sc.search._fn_cache
+               if isinstance(k, tuple)), "banded open path not engaged"
     assert len(t_mesh) == len(t_single) > 0
     for k in t_single.columns:
         if k == "psm_id":
