@@ -1742,9 +1742,13 @@ class Scorer:
             open_segs = []
             plan_l = []
             parts = []
+            whole = len(sides) == 1
             for spec_ids in sides:
-                sel_rows = np.isin(si, spec_ids)
-                rows_idx = np.flatnonzero(sel_rows)
+                rows_idx = (
+                    np.arange(n_rows)
+                    if whole
+                    else np.flatnonzero(np.isin(si, spec_ids))
+                )
                 R_b = next_power_of_two(max(rows_idx.size, 8))
                 if chunked:
                     tc_b = size[spec_ids] // max(V_ROW_OS, 1)
@@ -1757,14 +1761,17 @@ class Scorer:
                 F_b = ((max(F_b, self.K, 128) + 127) // 128) * 128
                 if chunked:
                     F_b = min(F_b, Wc_b * V_ROW_OS)
-                remap = np.full(n_spec, -1, np.int64)
-                remap[spec_ids] = np.arange(spec_ids.size)
                 lspec = np.full(R_b, spec_ids.size, np.int32)  # sentinel
                 li0 = np.zeros(R_b, np.int32)
                 li1 = np.zeros(R_b, np.int32)
                 lmz = np.full(R_b, 2, np.int32)
                 nb_r = rows_idx.size
-                lspec[:nb_r] = remap[si[rows_idx]]
+                if whole:
+                    lspec[:nb_r] = si
+                else:
+                    remap = np.full(n_spec, -1, np.int64)
+                    remap[spec_ids] = np.arange(spec_ids.size)
+                    lspec[:nb_r] = remap[si[rows_idx]]
                 li0[:nb_r] = rows["i0"][rows_idx]
                 li1[:nb_r] = rows["i1"][rows_idx]
                 lmz[:nb_r] = maxz[rows_idx]
@@ -1772,7 +1779,8 @@ class Scorer:
                     "os": os_, "spec_ids": spec_ids, "rows_idx": rows_idx,
                     "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
                     "chunked": chunked, "Pk_eff": Pk_eff,
-                    "starts": g_starts[spec_ids], "lens": g_lens[spec_ids],
+                    "starts": g_starts if whole else g_starts[spec_ids],
+                    "lens": g_lens if whole else g_lens[spec_ids],
                     "lspec": lspec, "li0": li0, "li1": li1, "lmz": lmz,
                 })
                 plan_l.append(("banded", R_b))
