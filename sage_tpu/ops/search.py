@@ -549,7 +549,13 @@ def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
     in-window (peak × charge × fragment) pair, exactly the reference's
     preliminary matched count (scoring.rs:335-382). Returns i32 [W]."""
     W = f.shape[1]
-    counts = jnp.zeros((W,), dtype=jnp.int32)
+    Pk = peaks.shape[0]
+    # Reduction order matters for SPEED, not value (integer adds
+    # commute): summing the (series, ion) axes FIRST leaves ONE
+    # cross-lane reduce over the peak axis per candidate, where reducing
+    # peaks innermost costs a cross-lane reduce per (series, candidate,
+    # ion) — measured 3.6x slower in XLA on v5e.
+    acc = jnp.zeros((W, Pk), dtype=jnp.int32)
     for zi in range(Z):
         z = np.float32(zi + 1)
         q = peaks * z  # [Pk]
@@ -560,11 +566,14 @@ def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
         # comparisons for any finite fragment.
         lo_q = jnp.where(z_ok, lo_q, np.float32(np.inf))
         hi_q = jnp.where(z_ok, hi_q, np.float32(np.inf))
-        a = jnp.sum((f[..., None] >= lo_q[None, None, None, :]), axis=-1, dtype=jnp.int32)
-        b = jnp.sum((f[..., None] > hi_q[None, None, None, :]), axis=-1, dtype=jnp.int32)
-        cnt = a - b if fvalid is None else jnp.where(fvalid, a - b, 0)
-        counts = counts + jnp.sum(cnt, axis=(0, 2))
-    return counts
+        x = (
+            (f[..., None] >= lo_q[None, None, None, :]).astype(jnp.int32)
+            - (f[..., None] > hi_q[None, None, None, :]).astype(jnp.int32)
+        )
+        if fvalid is not None:
+            x = jnp.where(fvalid[..., None], x, 0)
+        acc = acc + jnp.sum(x, axis=(0, 2))
+    return jnp.sum(acc, axis=-1)
 
 
 class _DeviceTables:
