@@ -157,22 +157,42 @@ def _lc_class(need: int, L: int) -> int:
     return L
 
 
-def _window_lneed(lens: np.ndarray, i0: np.ndarray, i1: np.ndarray):
-    """Per-row max ladder length needed: max(len) - 1 over the window
-    [i0, i1) of the mass-sorted peptide table (0 for empty windows)."""
+_LNEED_BLK = 64
+
+
+def _lens_blockmax(lens: np.ndarray) -> np.ndarray:
+    """[ceil(P/64)] max peptide length per 64-wide block of the
+    mass-sorted table (precomputed once per database)."""
+    P = lens.shape[0]
+    nb = -(-max(P, 1) // _LNEED_BLK)
+    pad = np.zeros(nb * _LNEED_BLK, np.int64)
+    pad[:P] = lens
+    return pad.reshape(nb, _LNEED_BLK).max(axis=1)
+
+
+def _window_lneed(lens: np.ndarray, i0: np.ndarray, i1: np.ndarray,
+                  blkmax: Optional[np.ndarray] = None):
+    """Per-row UPPER BOUND of max(len) - 1 over the window [i0, i1) of
+    the mass-sorted peptide table (0 for empty windows): the max of the
+    64-wide blocks covering the window, edge blocks included whole.
+    Sound for ladder-length CLASS assignment — a class covering the
+    bound always covers the true need — and O(window/64) vector passes
+    per batch where an exact `np.maximum.reduceat` formulation was
+    measured at ~200 ms/batch (reduceat also reduces the huge discarded
+    spans BETWEEN consecutive windows)."""
     n = i0.size
     if n == 0:
         return np.zeros(0, np.int64)
-    P = lens.shape[0]
-    # sentinel element so an end bound of P is a valid reduceat index
-    lens_pad = np.concatenate([lens.astype(np.int64), [0]])
-    a = np.minimum(i0, P - 1).astype(np.int64)
-    b = np.minimum(i1, P).astype(np.int64)
-    pairs = np.empty(2 * n, np.int64)
-    pairs[0::2] = a
-    pairs[1::2] = np.maximum(b, a)
-    mx = np.maximum.reduceat(lens_pad, pairs)[0::2]
-    return np.where(b > a, np.maximum(mx - 1, 0), 0)
+    if blkmax is None:
+        blkmax = _lens_blockmax(lens)
+    nbk = blkmax.shape[0]
+    a = i0.astype(np.int64) // _LNEED_BLK
+    b = (np.maximum(i1.astype(np.int64), i0 + 1) - 1) // _LNEED_BLK
+    m = np.zeros(n, np.int64)
+    for j in range(int((b - a).max(initial=0)) + 1):
+        bj = np.minimum(a + j, nbk - 1)
+        m = np.maximum(m, np.where(a + j <= b, blkmax[bj], 0))
+    return np.where(i1 > i0, np.maximum(m - 1, 0), 0)
 
 
 @dataclasses.dataclass
@@ -1594,6 +1614,11 @@ class Scorer:
             self._plan_sticky[key] = cls
         return cls
 
+    def _lens_blk(self):
+        if getattr(self, "_lens_blk_cache", None) is None:
+            self._lens_blk_cache = _lens_blockmax(self.db.table.lens)
+        return self._lens_blk_cache
+
     def _narrow_banded_maybe(self, W: int):
         """The peak-major banded stage 1 (ops/narrow_banded.py), when it
         pays: wide-enough candidate windows on a large-enough fragment
@@ -1632,7 +1657,7 @@ class Scorer:
             return max(int(env), self.params.report_psms + 1)
         p = self.params
         n_iso = max(p.max_isotope_err - p.min_isotope_err + 1, 1)
-        return p.report_psms + n_iso + 3
+        return p.report_psms + n_iso + 5
 
     def _ksel_open(self) -> int:
         """Open-search selection depth: wide windows yield dense
@@ -1831,7 +1856,8 @@ class Scorer:
             # per-class row counts — the fused program recompiles only
             # when a class's row count crosses a pow2 boundary
             lneed = _window_lneed(
-                self.db.table.lens, rows["i0"], rows["i1"]
+                self.db.table.lens, rows["i0"], rows["i1"],
+                blkmax=self._lens_blk(),
             )
             classes = self._sticky_classes(rows, n_rows, W)
             assign = np.full(n_rows, -1, np.int64)
@@ -1882,7 +1908,13 @@ class Scorer:
             est = int(
                 min(0.35 * width_per_spec + 3.0, 32.0) * S_pad
             ) + 1024
-        Bc = min(max(next_power_of_two(est), 4096), _pad_count(cap))
+        # quantize to {2^k, 1.5*2^k}: stage-2 cost is linear in Bc, so
+        # the extra grid point saves up to 25% rescore work over pure
+        # pow2 while still giving the merge program a near-stable shape
+        q = next_power_of_two(max(est, 4096))
+        if 3 * q // 4 >= est:
+            q = 3 * q // 4
+        Bc = min(q, _pad_count(cap))
         Ksel = self._ksel_open() if open_regime else self._ksel()
 
         fn = self._fused(plan, Pk, S_pad, G_eff, Zb, Bc, Ksel)
@@ -1929,15 +1961,24 @@ class Scorer:
                 run_b = (
                     fnb._unpacked if getattr(fnb, "_packed", False) else fnb
                 )
+                # host-side slice + tiny upload: an eager device-slice op
+                # per segment pays a full dispatch round trip on
+                # tunneled links (~10 ms each, measured in host_prep)
                 seg_outs.append(
-                    run_b(peaks_dev, jax.lax.slice(ints_dev, (0, off),
-                                                   (5, off + Rb)))
+                    run_b(peaks_dev, jnp.asarray(ints[:5, off : off + Rb]))
                 )
                 off += Rb
         if timings is not None:
             import jax as _jax
 
-            _jax.device_get(sum(jnp.sum(o) for o in seg_outs))
+            # ONE jitted combiner per arity: eager per-array sums would
+            # each pay a full dispatch round trip on tunneled links,
+            # swamping the phase being measured
+            comb = self._stage2_cache.setdefault(
+                ("comb", len(seg_outs)),
+                _jax.jit(lambda *xs: sum(jnp.sum(x) for x in xs)),
+            )
+            _jax.device_get(comb(*seg_outs))
             timings["s1_device_s"] = (
                 timings.get("s1_device_s", 0.0)
                 + _time.perf_counter() - _t0
@@ -1948,7 +1989,10 @@ class Scorer:
         if timings is not None:
             import jax as _jax
 
-            _jax.device_get(jnp.sum(small))
+            comb1 = self._stage2_cache.setdefault(
+                ("comb", 1), _jax.jit(lambda x: jnp.sum(x))
+            )
+            _jax.device_get(comb1(small))
             timings["merge_device_s"] = (
                 timings.get("merge_device_s", 0.0)
                 + _time.perf_counter() - _t0
@@ -2370,7 +2414,8 @@ class Scorer:
         # Length classes within each width class, from the fixed grid so
         # executable shapes stay stable across batches.
         lneed = _window_lneed(
-            self.db.table.lens, rows["i0"], rows["i1"]
+            self.db.table.lens, rows["i0"], rows["i1"],
+            blkmax=self._lens_blk(),
         )
         out = []
         for i in sorted(live, reverse=True):
