@@ -261,15 +261,28 @@ def bench_pipeline(tmpdir):
         "predict_rt": False,
     }
     times = []
+    build_times = []
+    run_times = []
     for _ in range(2):  # first run compiles; second is the warm number
         outdir = os.path.join(tmpdir, "out")
         shutil.rmtree(outdir, ignore_errors=True)
         search = build_search(dict(cfg), output_directory=outdir)
         t0 = time.perf_counter()
-        Runner(search).run()
-        times.append(time.perf_counter() - t0)
+        runner = Runner(search)  # FASTA parse + database build
+        t1 = time.perf_counter()
+        runner.run()
+        t2 = time.perf_counter()
+        times.append(t2 - t0)
+        build_times.append(t1 - t0)
+        run_times.append(t2 - t1)
     return {
+        # total includes the one-off database build; the _run rate is
+        # what additional files of a multi-file run see (one build is
+        # amortized over every file, matching the reference's own
+        # "generated fragments in N ms" + per-file logging split)
         "pipeline_sps": round(n_spec / times[-1], 1),
+        "pipeline_run_sps": round(n_spec / run_times[-1], 1),
+        "pipeline_build_s": [round(t, 2) for t in build_times],
         "pipeline_wall_s": [round(t, 2) for t in times],
         "pipeline_scale": {"proteins": n_prot, "peptides": len(db),
                            "spectra": n_spec},
@@ -355,7 +368,8 @@ def main():
         print(f"# baseline open 1-core: {base_open}", file=sys.stderr)
         oscorer = Scorer(db, open_params)
         ro = timed_passes(
-            oscorer, spectra[:N_SPECTRA_OPEN], BATCH_OPEN, max(PASSES - 2, 1)
+            oscorer, spectra[:N_SPECTRA_OPEN], BATCH_OPEN,
+            max(PASSES - 1, 3),  # >= 3 so the stat is a median
         )
         odt = ro["stat_s"]
         osps = N_SPECTRA_OPEN / odt

@@ -1903,6 +1903,11 @@ class Scorer:
         if hint is not None:
             per_spec = hint[0] / max(hint[1], 1)
             est = int(per_spec * 1.25 * S_pad) + 1024
+        elif open_regime:
+            # open windows fill essentially every top-K slot with a
+            # live candidate: budget for all of them up front (a cold
+            # underestimate costs an overflow rerun PLUS a recompile)
+            est = k_row * S_pad + 1024
         else:
             width_per_spec = float(width.sum()) / max(n_spec, 1)
             est = int(
