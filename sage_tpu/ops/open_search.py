@@ -192,6 +192,13 @@ def _open_count_core(
     # ---- sort per spectrum by peptide DESCENDING; padding/slop sorts to
     # the tail, so the axis can be cut back to F (> any true entry count)
     if psort:
+        from .pallas_sort import MAX_F as _PSORT_MAX_F
+
+        # the kernel sorts the PRE-CUT entry axis: in chunked mode that
+        # is Wc*V_ROW (> F), so the VMEM budget must gate on it
+        if (Wc * V_ROW if chunked else F) > _PSORT_MAX_F:
+            psort = False
+    if psort:
         # in-VMEM bitonic kernel (pallas_sort.py): one i32 key per
         # entry, z tag bit-packed into the low 5 bits. Entry order
         # within one peptide run differs from lax.sort's, which cannot

@@ -1611,7 +1611,11 @@ class Scorer:
             if (W, L) not in cls:
                 cls.append((W, L))
             cls = tuple(sorted(cls))
-            self._plan_sticky[key] = cls
+            # only a SUBSTANTIAL batch may pin the sticky set: a tiny
+            # or trailing first batch would degenerate to the (W, L)
+            # catch-all and permanently forfeit the 2D bucketing win
+            if n_rows >= 1024:
+                self._plan_sticky[key] = cls
         return cls
 
     def _lens_blk(self):
@@ -1693,6 +1697,7 @@ class Scorer:
             self.tables.lad_full is None
             or len(self.db) >= (1 << 24)
             or self.tables.L >= 64
+            or self.K >= 128  # merge rank must fit its 7-bit lane
             or self.params.max_precursor_charge >= 32
             or self.params.min_isotope_err < -16
             or self.params.max_isotope_err > 15
@@ -1920,7 +1925,11 @@ class Scorer:
         if 3 * q // 4 >= est:
             q = 3 * q // 4
         Bc = min(q, _pad_count(cap))
-        Ksel = self._ksel_open() if open_regime else self._ksel()
+        # clamped HERE so the finalize unpacks exactly what the program
+        # emitted (the builder applies the same clamp)
+        Ksel = min(
+            self._ksel_open() if open_regime else self._ksel(), k_row
+        )
 
         fn = self._fused(plan, Pk, S_pad, G_eff, Zb, Bc, Ksel)
         # dispatch each stage-1 segment as its own (cached) executable —

@@ -125,7 +125,10 @@ def allgather_bytes(data: bytes) -> List[bytes]:
         for i in range(n):
             take = max(min(int(lens[i]) - off, c), 0)
             if take:
-                parts[i].append(bufs[i, :take])
+                # copy: a VIEW would pin the whole [n, chunk] buffer
+                # until the final join, re-growing the footprint the
+                # chunking exists to bound
+                parts[i].append(bufs[i, :take].copy())
     return [
         b"".join(p.tobytes() for p in parts[i]) if parts[i] else b""
         for i in range(n)

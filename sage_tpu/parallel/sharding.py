@@ -700,12 +700,19 @@ class ShardedSearch:
         spectrum; rows reference them through ``si``)."""
         from ..ops.open_search import _quarter_octave
 
+        from ..ops.open_search import OpenSearcher
+
         R, Pk = peaks.shape
         B = masses.shape[0]
         starts, lens_r = self.open_ranges(masses)
         per_shard_max = lens_r.sum(axis=2).max()
         F = _quarter_octave(int(per_shard_max) + 1)
         F = ((max(F, self.K, 128) + 127) // 128) * 128
+        if B * F > OpenSearcher.MAX_ELEMENTS:
+            # per-cell [B, F] entry matrices would blow the device
+            # budget (very deep open searches): the caller falls back
+            # to the whole-table-scan path, which has no F axis
+            return None
         key = ("bc_open", R, Pk)
         Bc = self._fn_cache.get(key, self._initial_bc(R))
         fkey = ("open", R, Pk, B, F, Bc)
@@ -1046,31 +1053,39 @@ class ShardedScorer:
             d = self.search.open_dispatch(
                 peaks_r, intens_r, si_r, i0, i1, maxz, masses
             )
+            if d is None:  # element budget: whole-table scan instead
+                d = self._full_fallback(mono, rows, n_rows, R, peaks_r,
+                                        intens_r, maxz)
         else:
-            # open regime: whole-table scan per shard with f32 mass-range
-            # membership; endpoints reconstructed from the index window so
-            # membership is identical to the single-device candidate range
-            lo = np.zeros(R, np.float32)
-            hi = np.full(R, -1.0, np.float32)
-            lo[:n_rows] = np.where(
-                rows["i0"] < len(mono),
-                mono[np.minimum(rows["i0"], len(mono) - 1)],
-                np.float32(np.inf),
-            )
-            hi[:n_rows] = np.where(
-                rows["i1"] > 0, mono[np.maximum(rows["i1"] - 1, 0)],
-                np.float32(-np.inf),
-            )
-            # empty [i0, i1) windows must stay empty
-            empty = rows["i1"] <= rows["i0"]
-            lo[:n_rows][empty] = np.float32(np.inf)
-            hi[:n_rows][empty] = np.float32(-np.inf)
-            d = self.search.full_dispatch(peaks_r, intens_r, lo, hi, maxz)
+            d = self._full_fallback(mono, rows, n_rows, R, peaks_r,
+                                    intens_r, maxz)
         return {
             "spectra": spectra, "masses": masses, "intens": intens,
             "Pk": Pk, "rows": rows, "n_rows": n_rows, "n_spec": n_spec,
             "d": d,
         }
+
+    def _full_fallback(self, mono, rows, n_rows, R, peaks_r, intens_r,
+                       maxz):
+        """Whole-table scan per shard with f32 mass-range membership;
+        endpoints reconstructed from the index window so membership is
+        identical to the single-device candidate range."""
+        lo = np.zeros(R, np.float32)
+        hi = np.full(R, -1.0, np.float32)
+        lo[:n_rows] = np.where(
+            rows["i0"] < len(mono),
+            mono[np.minimum(rows["i0"], len(mono) - 1)],
+            np.float32(np.inf),
+        )
+        hi[:n_rows] = np.where(
+            rows["i1"] > 0, mono[np.maximum(rows["i1"] - 1, 0)],
+            np.float32(-np.inf),
+        )
+        # empty [i0, i1) windows must stay empty
+        empty = rows["i1"] <= rows["i0"]
+        lo[:n_rows][empty] = np.float32(np.inf)
+        hi[:n_rows][empty] = np.float32(-np.inf)
+        return self.search.full_dispatch(peaks_r, intens_r, lo, hi, maxz)
 
     def _advance(self, e):
         """Blocking fetch (+ rare budget redo) of a dispatched batch."""

@@ -280,6 +280,66 @@ def test_sharded_open_regime_banded_default(db, shape, monkeypatch):
         )
 
 
+def test_sharded_open_element_budget_fallback(db, monkeypatch):
+    """When the banded open path's per-cell [B, F] entry matrices would
+    blow the element budget, the dispatch must fall back to the
+    whole-table scan — same results, no OOM-sized allocations."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+
+    from sage_tpu.ops import open_search as osmod
+    from sage_tpu.ops.search import Scorer, SearchParams
+    from sage_tpu.parallel.sharding import ShardedScorer
+    from sage_tpu.chem.mass import PROTON
+    from sage_tpu.spectrum.processor import Precursor, ProcessedSpectrum
+
+    rng = np.random.default_rng(4)
+    b, y = db.table.ladders()
+    targets = np.flatnonzero(db.table.lens >= 8)
+    spectra = []
+    for i in range(4):
+        p = int(rng.choice(targets))
+        n = int(db.table.lens[p]) - 1
+        take = np.concatenate([b[p, :n], y[p, :n]])
+        masses = np.sort(take.astype(np.float32))
+        intens = rng.uniform(1.0, 1e5, masses.shape[0]).astype(np.float32)
+        spectra.append(
+            ProcessedSpectrum(
+                level=2, id=f"scan={i}", file_id=0,
+                scan_start_time=0.1 * i, ion_injection_time=1.0,
+                precursors=[
+                    Precursor(mz=float(db.table.mono[p]) / 2 + PROTON,
+                              charge=2)
+                ],
+                masses=masses, intensities=intens,
+                mobilities=np.zeros(0, np.float32),
+                total_ion_current=np.float32(intens.sum()),
+            )
+        )
+    params = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        report_psms=1, min_matched_peaks=2,
+    )
+    monkeypatch.setenv("SAGE_TPU_SHARD_WINDOWED", "0")
+    t_single = Scorer(db, params).score_table(spectra)
+    monkeypatch.setattr(osmod.OpenSearcher, "MAX_ELEMENTS", 64)
+    mesh = make_mesh(2, 4)
+    sc = ShardedScorer(db, mesh, params)
+    t_mesh = sc.score_table(spectra)
+    assert not any(
+        isinstance(k, tuple) and k[0] == "open" for k in sc.search._fn_cache
+    ), "budget fallback did not engage"
+    for k in t_single.columns:
+        if k == "psm_id":
+            continue
+        np.testing.assert_array_equal(
+            t_mesh.columns[k], t_single.columns[k], err_msg=f"column {k}"
+        )
+
+
 def test_stage2_budget_overflow_redo(db, monkeypatch):
     """When a shard's live candidates exceed the stage-2 compaction
     budget, full_step/windowed_step must grow the budget and redo — the
