@@ -132,6 +132,18 @@ def timed_passes(scorer, spectra, batch, passes):
     }
 
 
+def best_baseline(run, tries: int = 3):
+    """Best (highest spectra/s) of several CPU-baseline runs."""
+    best = None
+    for _ in range(tries):
+        r = run()
+        if r is None:
+            return best
+        if best is None or r["spectra_per_s"] > best["spectra_per_s"]:
+            best = r
+    return best
+
+
 def profile_narrow(scorer, spectra, batch, reps=4):
     """Phase-split one narrow batch through the PRODUCTION (fused) path:
     host prep / stage-1 device / merge+rescore+select device / host
@@ -303,7 +315,12 @@ def main():
     spectra = synth_spectra(db, max(N_SPECTRA, N_SPECTRA_OPEN))
 
     # --- measured CPU baseline (single core, same workload) ---
-    base_narrow = measure_cpu_baseline(db, spectra[:512], narrow, reps=4)
+    # best of 3 runs: the C loop times its reps in one span, so a host
+    # load spike during any run would deflate the baseline and flatter
+    # the TPU ratio — take the baseline's best case
+    base_narrow = best_baseline(
+        lambda: measure_cpu_baseline(db, spectra[:512], narrow, reps=2)
+    )
     b1 = base_narrow["spectra_per_s"] if base_narrow else None
     print(f"# baseline narrow 1-core: {base_narrow}", file=sys.stderr)
 
@@ -362,8 +379,10 @@ def main():
             precursor_tol=Tolerance("da", -500.0, 100.0),
             fragment_tol=frag_tol,
         )
-        base_open = measure_cpu_baseline(
-            db, spectra[:128], open_params, reps=1
+        base_open = best_baseline(
+            lambda: measure_cpu_baseline(
+                db, spectra[:128], open_params, reps=1
+            )
         )
         print(f"# baseline open 1-core: {base_open}", file=sys.stderr)
         oscorer = Scorer(db, open_params)

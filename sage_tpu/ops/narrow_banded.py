@@ -33,14 +33,18 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from .open_search import V_ROW, _open_count_core, _quarter_octave
+from .open_search import (
+    V_ROW,
+    _open_count_core,
+    _quarter_octave,
+    spectrum_window_union,
+)
 from .pallas_sort import use_pallas_sort
 from .search import tol_bounds_static
 
@@ -181,13 +185,7 @@ class NarrowBanded:
         it."""
         B = int(peaks_dev.shape[1])
         # per-spectrum union of precursor windows -> covered bands
-        u0 = np.full(B, np.iinfo(np.int64).max, np.int64)
-        u1 = np.zeros(B, np.int64)
-        live = rows["i1"] > rows["i0"]
-        if live.any():
-            np.minimum.at(u0, rows["si"][live], rows["i0"][live])
-            np.maximum.at(u1, rows["si"][live], rows["i1"][live])
-        u0 = np.where(u1 > 0, u0, 0)
+        u0, u1 = spectrum_window_union(rows, B)
         b0 = np.clip(u0 // self.band_w, 0, self.n_bands - 1)
         b1 = np.clip(
             np.maximum(u1 - 1, 0) // self.band_w, 0, self.n_bands - 1

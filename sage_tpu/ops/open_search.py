@@ -74,6 +74,21 @@ def _quarter_octave(n: int) -> int:
     return octave * (-(-n * 4 // octave)) // 4
 
 
+
+def spectrum_window_union(rows, B):
+    """Per-spectrum union [u0, u1) of the precursor-window peptide-index
+    ranges of its query rows (0-width where a spectrum has no live
+    rows). Shared by the open-search geometry, the banded narrow stage 1
+    and the mesh open sharding — ONE definition of the union rule."""
+    u0 = np.full(B, np.iinfo(np.int64).max, np.int64)
+    u1 = np.zeros(B, np.int64)
+    live = rows["i1"] > rows["i0"]
+    if live.any():
+        np.minimum.at(u0, rows["si"][live], rows["i0"][live])
+        np.maximum.at(u1, rows["si"][live], rows["i1"][live])
+    return np.where(u1 > 0, u0, 0), u1
+
+
 def _entries_rows(frag_pep8, starts, lens, Wr, Pk, Z):
     """Row-aligned wide-row gather: [B, F2] sort keys (+ z tags) where
     window w (fragment range [s, e)) owns the whole V_ROW-aligned table
@@ -460,13 +475,7 @@ class OpenSearcher:
         B = masses.shape[0]
         if _ranges is None:
             # per-spectrum union of precursor windows -> covered bands
-            u0 = np.full(B, np.iinfo(np.int64).max, np.int64)
-            u1 = np.zeros(B, np.int64)
-            live = rows["i1"] > rows["i0"]
-            if live.any():
-                np.minimum.at(u0, rows["si"][live], rows["i0"][live])
-                np.maximum.at(u1, rows["si"][live], rows["i1"][live])
-            u0 = np.where(u1 > 0, u0, 0)
+            u0, u1 = spectrum_window_union(rows, B)
             starts, lens = self.ranges(masses, Zb, u0, u1)
         else:
             starts, lens = _ranges
