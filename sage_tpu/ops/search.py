@@ -1675,7 +1675,7 @@ class Scorer:
         return self._ksel() + 5
 
     def _fused_dispatch(self, spectra, masses, intens, Pk, peaks_dev,
-                        rows=None, timings=None):
+                        rows=None, timings=None, capture=None):
         """Try the fused path; returns None when its preconditions don't
         hold (non-uniform row counts, open-search window, huge table).
         ``rows`` may be passed in so a fallback to the classic path
@@ -1684,9 +1684,17 @@ class Scorer:
         ``timings``: optional dict; when given, blocking scalar fetches
         are inserted after the stage-1 segments and after the merge
         program, accumulating wall seconds into ``host_prep_s``,
-        ``s1_device_s`` and ``merge_device_s`` (each device term
-        includes one fetch round trip — subtract the link RTT, see
-        bench.py). Zero overhead when None."""
+        ``s1_device_s`` and ``merge_device_s``. NOTE these phase terms
+        each include a device fetch, which on tunneled links costs 2-3x
+        the nominal RTT — they bound latency, not device execution; for
+        true execution time use ``capture`` + devprof.chained_exec_s.
+        Zero overhead when None.
+
+        ``capture``: optional dict; when given (and the batch used the
+        2D-class narrow plan), filled with the device-resident pieces of
+        this batch's programs — ``segs`` [(run_b, ints_seg_dev), ...],
+        ``fn``, ``ints_dev``, ``peaks_dev``, ``seg_outs`` — so a profiler
+        can re-execute them in a data-dependent chain."""
         import os
         import time as _time
 
@@ -1978,10 +1986,18 @@ class Scorer:
                 # host-side slice + tiny upload: an eager device-slice op
                 # per segment pays a full dispatch round trip on
                 # tunneled links (~10 ms each, measured in host_prep)
-                seg_outs.append(
-                    run_b(peaks_dev, jnp.asarray(ints[:5, off : off + Rb]))
-                )
+                ints_seg = jnp.asarray(ints[:5, off : off + Rb])
+                seg_outs.append(run_b(peaks_dev, ints_seg))
+                if capture is not None:
+                    capture.setdefault("segs", []).append(
+                        (run_b, ints_seg)
+                    )
                 off += Rb
+            if capture is not None:
+                capture.update(
+                    fn=fn, ints_dev=ints_dev, peaks_dev=peaks_dev,
+                    seg_outs=seg_outs,
+                )
         if timings is not None:
             import jax as _jax
 

@@ -87,6 +87,43 @@ def transfer_s(out, rtt: float | None = None) -> float:
     return max(time.perf_counter() - t - rtt, 0.0)
 
 
+def chained_exec_s(
+    step: Callable, k1: int = 2, k2: int = 8, reps: int = 3,
+    rtt: float | None = None,
+) -> float:
+    """TRUE device execution time of one program run, measured as the
+    SLOPE over chain length: ``step(c)`` must dispatch the program with
+    the i32[1] chain scalar ``c`` folded into one input (a 0-weighted
+    add, so the executable is unchanged) and return the next i32[1]
+    chain scalar derived from the program's output. The data dependency
+    serializes the k executions on device; one 4-byte fetch ends the
+    chain, so (t(k2) - t(k1)) / (k2 - k1) contains no dispatch latency,
+    no transfer, and no tunnel round trip — unlike a blocking per-phase
+    fetch, which inflates "device time" by ~2-3 RTTs on tunneled links
+    (measured: a stage-1 that blocking-fetch timing reports as ~130 ms
+    is ~12 ms by slope)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(k):
+        c = jnp.zeros(1, jnp.int32)
+        t = time.perf_counter()
+        for _ in range(k):
+            c = step(c)
+        jax.device_get(c[0])
+        return time.perf_counter() - t
+
+    run(k1)  # warm
+    best = None
+    for _ in range(reps):
+        t1 = run(k1)
+        t2 = run(k2)
+        dt = (t2 - t1) / (k2 - k1)
+        if best is None or dt < best:
+            best = dt
+    return max(best, 0.0)
+
+
 def upload_s(nbytes: int, reps: int = 4, rtt: float | None = None) -> float:
     """Amortized host->device upload time for ``nbytes`` of FRESH content
     (content-identical re-uploads can be deduped by the link; each rep
