@@ -217,6 +217,7 @@ def profile_narrow(scorer, spectra, batch, reps=4):
         segs = cap["segs"]
         fn = cap["fn"]
         ints_dev = cap["ints_dev"]
+        perm_dev = cap["perm_dev"]
         seg_outs0 = cap["seg_outs"]
 
         def step_s1(c):
@@ -228,13 +229,14 @@ def profile_narrow(scorer, spectra, batch, reps=4):
 
         def step_merge(c):
             z = c[0] * 0
-            small, _i, _m = fn(peaks_dev, ints_dev + z, seg_outs0)
+            small, _i, _m = fn(peaks_dev, ints_dev + z, perm_dev,
+                               seg_outs0)
             return small[-1, :1].astype(jnp.int32)
 
         def step_all(c):
             z = c[0] * 0
             outs = [rb(peaks_dev, si + z) for rb, si in segs]
-            small, _i, _m = fn(peaks_dev, ints_dev + z, outs)
+            small, _i, _m = fn(peaks_dev, ints_dev + z, perm_dev, outs)
             return small[-1, :1].astype(jnp.int32)
 
         s1_exec = devprof.chained_exec_s(step_s1)

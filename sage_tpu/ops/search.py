@@ -1208,7 +1208,7 @@ class Scorer:
                 return t
             self.fused_reruns = getattr(self, "fused_reruns", 0) + 1
             log.warning(
-                "fused budget/capacity overflow; re-running batch via the "
+                "banded entry-capacity overflow; re-running batch via the "
                 "two-dispatch path"
             )
         prelim = self._prelim_finalize(
@@ -1276,7 +1276,7 @@ class Scorer:
                     return t
                 self.fused_reruns = getattr(self, "fused_reruns", 0) + 1
                 log.warning(
-                    "fused budget/capacity overflow; re-running batch via "
+                    "banded entry-capacity overflow; re-running batch via "
                     "the two-dispatch path"
                 )
                 prelim = self._preliminary(
@@ -1302,21 +1302,26 @@ class Scorer:
     # Fused single-dispatch path (stage 1 + merge + stage 2 on device)
     # ------------------------------------------------------------------
 
-    def _build_fused(self, plan, Pk, S_pad, G_eff, Zb, Bc, Ksel):
+    def _build_fused(self, plan, Pk, S_pad, G_eff, Zb, Ksel):
         """One device program covering the whole per-batch search:
         SEGMENTED stage-1 window counts (each (window-width Wb,
         ladder-length Lcb, padded-rows Rb) class runs at its own static
         shape — the 2D bucketing that recovers 2-4x of stage-1 compute,
-        here inside one program), a scatter into the per-spectrum merge
-        grid, the PreScore merge (4-key sort by matched/peptide/charge/
-        isotope desc — scoring.rs:43-49 + trim_hits), compaction of the
-        matched>0 candidates, the full stage-2 rescore, and a
-        per-spectrum SELECTION of the top-Ksel candidates by an f32
-        hyperscore order key (the reference's score_standard sort,
-        scoring.rs:495). Only the selected rows (plus per-spectrum
-        statistics) return to the host — the fetch shrinks from
-        O(candidates) to O(spectra x Ksel), and the host-side PreScore
-        merge + candidate ranking disappear entirely.
+        here inside one program), a GATHER into the per-spectrum merge
+        grid by a host-computed slot permutation (device scatters run at
+        ~80 M elem/s on this part where 64-lane row gathers run ~30x
+        faster — measured), the PreScore merge (4-key sort by matched/
+        peptide/charge/isotope desc — scoring.rs:43-49 + trim_hits), the
+        full stage-2 rescore ON the static [S_pad, K] merge grid (no
+        compaction: rescoring the <=35% dead slots costs less than the
+        compaction scatter + per-item spectrum gathers it replaces, and
+        the stage-2 candidate budget + overflow-redo machinery disappear
+        entirely), and a per-spectrum SELECTION of the top-Ksel
+        candidates by an f32 hyperscore order key (the reference's
+        score_standard sort, scoring.rs:495). Only the selected rows
+        (plus per-spectrum statistics) return to the host — the fetch
+        shrinks from O(candidates) to O(spectra x Ksel), and the
+        host-side PreScore merge + candidate ranking disappear entirely.
 
         The f32 order key can misorder candidates whose f64 hyperscores
         differ by less than f32 rounding, so the program also returns the
@@ -1373,20 +1378,18 @@ class Scorer:
         use_2d = tables.lad2d_full is not None
         n_series_f = len(series)
 
-        def run_inner(lad_full, lnf, peaks_dev, ints, tail_extra,
+        def run_inner(lad_full, lnf, peaks_dev, ints, perm, tail_extra,
                       *seg_outs):
             # ints: [8, R_tot] i32 (spec, p0, i0, i1, maxz, z, iso, slot)
-            # with spec == S_pad marking padding rows; seg_outs: the
-            # stage-1 programs' packed outputs, one per plan segment.
-            m_g = jnp.zeros((S_pad + 1, G_eff, K), jnp.int32)
-            pep_g = jnp.full((S_pad + 1, G_eff, K), -1, jnp.int32)
-            z_g = jnp.zeros((S_pad + 1, G_eff), jnp.int32)
-            iso_g = jnp.zeros((S_pad + 1, G_eff), jnp.int32)
-            mtot_v = jnp.zeros(S_pad + 1, jnp.int32)
-            scored_v = jnp.zeros(S_pad + 1, jnp.int32)
+            # with spec == S_pad marking padding rows; perm: i32
+            # [S_pad * G_eff] spectrum-major slot -> global stage-1 row
+            # (host-computed; empty slots point at the all-zero sentinel
+            # row R_tot); seg_outs: the stage-1 programs' packed outputs,
+            # one per plan segment.
+            canon = []
             for (co_b, Wb, Rb, o), packed in zip(seg_meta, seg_outs):
-                seg = jax.lax.slice_in_dim(ints, o, o + Rb, axis=1)
-                if co_b:  # [Rb, Wb+2] raw window counts
+                if co_b:  # [Rb, Wb+2] raw window counts -> top-K layout
+                    seg = jax.lax.slice_in_dim(ints, o, o + Rb, axis=1)
                     vals_b = packed[:, :Wb]
                     pep_b = seg[1][:, None] + jnp.arange(
                         Wb, dtype=jnp.int32
@@ -1397,32 +1400,33 @@ class Scorer:
                             pep_b, ((0, 0), (0, K - Wb)),
                             constant_values=-1,
                         )
-                    mtot_b = packed[:, Wb]
-                    scored_b = packed[:, Wb + 1]
-                else:  # [Rb, 2K+2] per-row top-K (vals, pep)
-                    vals_b = packed[:, :K]
-                    pep_b = packed[:, K : 2 * K]
-                    mtot_b = packed[:, 2 * K]
-                    scored_b = packed[:, 2 * K + 1]
-                sp_b = seg[0]
-                sl_b = seg[7]
-                m_g = m_g.at[sp_b, sl_b].set(vals_b[:, :K])
-                pep_g = pep_g.at[sp_b, sl_b].set(pep_b[:, :K])
-                z_g = z_g.at[sp_b, sl_b].set(seg[5])
-                iso_g = iso_g.at[sp_b, sl_b].set(seg[6])
-                mtot_v = mtot_v.at[sp_b].add(mtot_b)
-                scored_v = scored_v.at[sp_b].add(scored_b)
+                    canon.append(jnp.concatenate(
+                        [vals_b, pep_b, packed[:, Wb : Wb + 2]], axis=1
+                    ))
+                else:  # [Rb, 2K+2] per-row top-K (vals, pep, mtot, scored)
+                    canon.append(packed[:, : 2 * K + 2])
+            sent = jnp.zeros((1, 2 * K + 2), jnp.int32).at[0, K : 2 * K]\
+                .set(-1)
+            allp = jnp.concatenate(canon + [sent], axis=0)
+            g = allp[perm].reshape(S_pad, G_eff, 2 * K + 2)  # row gather
+            mtot_s = jnp.sum(g[:, :, 2 * K], axis=1).astype(jnp.float32)
+            scored_s = jnp.sum(
+                g[:, :, 2 * K + 1], axis=1
+            ).astype(jnp.float32)
+            # per-slot charge/isotope straight from the row table
+            z_cols = jnp.concatenate([ints[5], jnp.zeros(1, jnp.int32)])
+            iso_cols = jnp.concatenate([ints[6], jnp.zeros(1, jnp.int32)])
+            z_g = z_cols[perm].reshape(S_pad, G_eff)
+            iso_g = iso_cols[perm].reshape(S_pad, G_eff)
             GK = G_eff * K
-            counts2 = m_g[:S_pad].reshape(S_pad, GK)
-            pep2 = pep_g[:S_pad].reshape(S_pad, GK)
+            counts2 = g[:, :, :K].reshape(S_pad, GK)
+            pep2 = g[:, :, K : 2 * K].reshape(S_pad, GK)
             z2 = jnp.broadcast_to(
-                z_g[:S_pad, :, None], (S_pad, G_eff, K)
+                z_g[:, :, None], (S_pad, G_eff, K)
             ).reshape(S_pad, GK)
             iso2 = jnp.broadcast_to(
-                iso_g[:S_pad, :, None], (S_pad, G_eff, K)
+                iso_g[:, :, None], (S_pad, G_eff, K)
             ).reshape(S_pad, GK)
-            mtot_s = mtot_v[:S_pad].astype(jnp.float32)
-            scored_s = scored_v[:S_pad].astype(jnp.float32)
 
             m_s, pep_s, z_s, iso_s = jax.lax.sort(
                 (-counts2, -pep2, -z2, -iso2), dimension=1, num_keys=4,
@@ -1434,31 +1438,18 @@ class Scorer:
 
             mask = m_s > 0  # sorted desc: a prefix per spectrum
             cnt_s = jnp.sum(mask.astype(jnp.int32), axis=1)
-            offs = jnp.concatenate(
-                [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_s)[:-1]]
-            )
             total = jnp.sum(cnt_s)
-            dest = offs[:, None] + jnp.arange(K0, dtype=jnp.int32)[None, :]
-            dest = jnp.where(mask & (dest < Bc), dest, Bc)  # Bc = discard
-            spec_ids = jnp.broadcast_to(
-                jnp.arange(S_pad, dtype=jnp.int32)[:, None], (S_pad, K0)
-            )
+            # fallback slice bounds: spectrum s's items live at the fixed
+            # stride rows [s*K0, s*K0 + cnt_s) of the flattened grid
+            offs = jnp.arange(S_pad, dtype=jnp.int32) * np.int32(K0)
 
-            def compact(vals):
-                buf = jnp.zeros(Bc + 1, jnp.int32)
-                return buf.at[dest.reshape(-1)].set(vals.reshape(-1))[:Bc]
-
-            c_pep = compact(pep_s)
-            c_z = compact(z_s)
-            c_iso = compact(iso_s)
-            c_spec = compact(spec_ids)
-            c_valid = jnp.arange(Bc, dtype=jnp.int32) < jnp.minimum(
-                total, np.int32(Bc)
-            )
-
-            # stage 2 on the compacted items
-            cap = jnp.minimum(c_z, cfg + 1) if cfg is not None else c_z
+            # stage 2 directly on the [S_pad, K0] merge grid: no
+            # compaction scatter, no per-item spectrum gathers (peaks
+            # broadcast per spectrum), no candidate budget to overflow
+            cap = jnp.minimum(z_s, cfg + 1) if cfg is not None else z_s
             c_maxz = jnp.clip(jnp.maximum(cap, 2), 2, Zcap + 1)
+            pep_i2 = jnp.maximum(pep_s, 0)  # dead slots rescore garbage,
+            # masked out of every consumer below
 
             def per_item(pkm, pki, pep_i, mz_i):
                 if use_2d:
@@ -1472,11 +1463,27 @@ class Scorer:
                     series=series, frag_tol=frag_tol, Z=Zb,
                 )
 
-            pkm = peaks_dev[0][c_spec]
-            pki = peaks_dev[1][c_spec]
-            mb, my, sb, sy, pp, lb, ly = jax.vmap(per_item)(
-                pkm, pki, c_pep, c_maxz
-            )
+            def per_spec(pkm, pki, peps, mzs):
+                return jax.vmap(per_item, in_axes=(None, None, 0, 0))(
+                    pkm, pki, peps, mzs
+                )
+
+            B_pk = peaks_dev.shape[1]
+            if B_pk < S_pad:
+                pkm_all = jnp.pad(
+                    peaks_dev[0], ((0, S_pad - B_pk), (0, 0)),
+                    constant_values=np.float32(np.inf),
+                )
+                pki_all = jnp.pad(
+                    peaks_dev[1], ((0, S_pad - B_pk), (0, 0)),
+                    constant_values=np.float32(-1.0),
+                )
+            else:
+                pkm_all = peaks_dev[0][:S_pad]
+                pki_all = peaks_dev[1][:S_pad]
+            mb, my, sb, sy, pp, lb, ly = jax.vmap(per_spec)(
+                pkm_all, pki_all, pep_i2, c_maxz
+            )  # each [S_pad, K0]
 
             # ---- per-spectrum selection by the f32 hyperscore order key.
             # hs32 tracks hyperscore_vec's f64 arithmetic term-for-term
@@ -1492,36 +1499,28 @@ class Scorer:
                     + lnf[mb] + lnf[my]
                 )
             hs32 = jnp.where(jnp.isfinite(hs32), hs32, np.float32(255.0))
-            ok = c_valid & ((mb + my) >= min_matched)
-            # gather each spectrum's candidates back into the [S_pad, K0]
-            # merge grid (column = within-spectrum PreScore rank): the
             # selection sort key is (ok desc, hs32 desc, rank asc) — the
-            # rank tiebreak reproduces the host lexsort's stability.
+            # rank tiebreak reproduces the host lexsort's stability
+            ok = mask & ((mb + my) >= min_matched)
             col = jnp.arange(K0, dtype=jnp.int32)[None, :]
-            gidx = jnp.minimum(offs[:, None] + col, np.int32(Bc - 1))
-            gvalid = (col < cnt_s[:, None]) & (
-                (offs[:, None] + col) < np.int32(Bc)
-            )
-            hs_g = hs32[gidx]
-            ok_g = ok[gidx] & gvalid
-            key = jnp.where(ok_g, hs_g, np.float32(-np.inf))
+            key = jnp.where(ok, hs32, np.float32(-np.inf))
             skey, scol = jax.lax.sort(
                 (-key, jnp.broadcast_to(col, (S_pad, K0))),
                 dimension=1, num_keys=2,
             )
             sel_col = scol[:, :Ksel]                      # [S_pad, Ksel]
-            n_ok = jnp.sum(ok_g.astype(jnp.int32), axis=1)
+            n_ok = jnp.sum(ok.astype(jnp.int32), axis=1)
             # best UNSELECTED key per spectrum: the host-side safety bound
             b32 = (
                 -skey[:, Ksel] if Ksel < K0
                 else jnp.full((S_pad,), -np.inf, jnp.float32)
             )
-            sidx = jnp.minimum(
-                offs[:, None] + sel_col, np.int32(Bc - 1)
-            )  # flat item index of each selected slot
 
             def sel(x):
-                return x[sidx]
+                return jnp.take_along_axis(x, sel_col, axis=1)
+            c_z = z_s
+            c_iso = iso_s
+            c_pep = pep_s
 
             # ---- packed small output: Ksel selected rows per spectrum,
             # one stats row per spectrum, one tail row. Integer fields
@@ -1560,34 +1559,44 @@ class Scorer:
             small = jnp.concatenate([rows7, stats, tail], axis=0)
 
             # ---- untruncated per-item arrays, kept ON DEVICE for the
-            # guard-failure fallback (fetched only when a spectrum trips)
+            # guard-failure fallback (fetched only when a spectrum trips);
+            # flattened so spectrum s's items are rows s*K0 .. s*K0+cnt_s
+            spec_ids = jnp.broadcast_to(
+                jnp.arange(S_pad, dtype=jnp.int32)[:, None], (S_pad, K0)
+            )
             items7 = jnp.stack(
-                [mb.astype(jnp.float32), my.astype(jnp.float32),
-                 sb, sy, pp,
-                 lb.astype(jnp.float32), ly.astype(jnp.float32)],
+                [mb.reshape(-1).astype(jnp.float32),
+                 my.reshape(-1).astype(jnp.float32),
+                 sb.reshape(-1), sy.reshape(-1), pp.reshape(-1),
+                 lb.reshape(-1).astype(jnp.float32),
+                 ly.reshape(-1).astype(jnp.float32)],
                 axis=1,
-            )  # [Bc, 7]
-            meta = jnp.stack([c_pep, c_z, c_iso, c_spec], axis=1)  # [Bc, 4]
+            )  # [S_pad*K0, 7]
+            meta = jnp.stack(
+                [c_pep.reshape(-1), c_z.reshape(-1), c_iso.reshape(-1),
+                 spec_ids.reshape(-1)],
+                axis=1,
+            )  # [S_pad*K0, 4]
             return small, items7, meta
 
         jitted = jax.jit(run_inner)
         _zero_tail = jnp.zeros(1, jnp.int32)
 
-        def run(peaks_dev, ints, seg_outs, tail_extra=None):
+        def run(peaks_dev, ints, perm, seg_outs, tail_extra=None):
             return jitted(
                 tables.lad2d_full if use_2d else tables.lad_full,
-                lnf32, peaks_dev, ints,
+                lnf32, peaks_dev, ints, perm,
                 _zero_tail if tail_extra is None else tail_extra,
                 *seg_outs,
             )
 
         return run
 
-    def _fused(self, plan, Pk, S_pad, G_eff, Zb, Bc, Ksel):
-        key = ("f", plan, Pk, S_pad, G_eff, Zb, Bc, Ksel)
+    def _fused(self, plan, Pk, S_pad, G_eff, Zb, Ksel):
+        key = ("f", plan, Pk, S_pad, G_eff, Zb, Ksel)
         if key not in self._stage1_cache:
             self._stage1_cache[key] = self._build_fused(
-                plan, Pk, S_pad, G_eff, Zb, Bc, Ksel
+                plan, Pk, S_pad, G_eff, Zb, Ksel
             )
         return self._stage1_cache[key]
 
@@ -1905,41 +1914,25 @@ class Scorer:
                 ints[7, sl] = slot[idx]
                 off += Rb
 
-        # stage-2 candidate budget: learned from the measured live-item
-        # density (grows on overflow, classic rerun covers the batch that
-        # overflowed). Quantized to powers of two so Bc — a compiled
-        # shape of the merge program — stays put across batches; stage-2
-        # cost is linear in Bc, so the margin is kept modest.
-        k_row = self.K  # merge keeps at most K per spectrum either way
-        cap = k_row * S_pad
-        hint = getattr(self, "_bc_hint", None)
-        if hint is not None:
-            per_spec = hint[0] / max(hint[1], 1)
-            est = int(per_spec * 1.25 * S_pad) + 1024
-        elif open_regime:
-            # open windows fill essentially every top-K slot with a
-            # live candidate: budget for all of them up front (a cold
-            # underestimate costs an overflow rerun PLUS a recompile)
-            est = k_row * S_pad + 1024
-        else:
-            width_per_spec = float(width.sum()) / max(n_spec, 1)
-            est = int(
-                min(0.35 * width_per_spec + 3.0, 32.0) * S_pad
-            ) + 1024
-        # quantize to {2^k, 1.5*2^k}: stage-2 cost is linear in Bc, so
-        # the extra grid point saves up to 25% rescore work over pure
-        # pow2 while still giving the merge program a near-stable shape
-        q = next_power_of_two(max(est, 4096))
-        if 3 * q // 4 >= est:
-            q = 3 * q // 4
-        Bc = min(q, _pad_count(cap))
         # clamped HERE so the finalize unpacks exactly what the program
         # emitted (the builder applies the same clamp)
+        k_row = self.K  # merge keeps at most K per spectrum either way
         Ksel = min(
             self._ksel_open() if open_regime else self._ksel(), k_row
         )
 
-        fn = self._fused(plan, Pk, S_pad, G_eff, Zb, Bc, Ksel)
+        fn = self._fused(plan, Pk, S_pad, G_eff, Zb, Ksel)
+        # spectrum-major slot -> global stage-1 row permutation: the
+        # merge program GATHERS rows into its [S_pad, G_eff] grid
+        # (device scatters measured ~30x slower than row gathers here);
+        # empty slots point at the program's all-zero sentinel row
+        R_tot_rows = ints.shape[1]
+        perm = np.full(S_pad * G_eff, R_tot_rows, np.int64)
+        live_r = ints[0] < S_pad
+        perm[
+            ints[0, live_r].astype(np.int64) * G_eff + ints[7, live_r]
+        ] = np.flatnonzero(live_r)
+        perm_dev = jnp.asarray(perm.astype(np.int32))
         # dispatch each stage-1 segment as its own (cached) executable —
         # measured 3.3x faster than inlining them into the merge program
         # — with outputs left on device; the merge/rescore/select program
@@ -1996,7 +1989,7 @@ class Scorer:
             if capture is not None:
                 capture.update(
                     fn=fn, ints_dev=ints_dev, peaks_dev=peaks_dev,
-                    seg_outs=seg_outs,
+                    seg_outs=seg_outs, perm_dev=perm_dev,
                 )
         if timings is not None:
             import jax as _jax
@@ -2015,7 +2008,9 @@ class Scorer:
             )
             timings["n_dispatches"] = timings.get("n_dispatches", 0) + 1
             _t0 = _time.perf_counter()
-        small, items7, meta = fn(peaks_dev, ints_dev, seg_outs, tail_extra)
+        small, items7, meta = fn(
+            peaks_dev, ints_dev, perm_dev, seg_outs, tail_extra
+        )
         if timings is not None:
             import jax as _jax
 
@@ -2030,7 +2025,8 @@ class Scorer:
         small.copy_to_host_async()
         return {
             "fused": small, "items7": items7, "meta": meta,
-            "n_rows": n_rows, "n_spec": n_spec, "Bc": Bc, "Ksel": Ksel,
+            "n_rows": n_rows, "n_spec": n_spec,
+            "Bc": S_pad * self.K, "Ksel": Ksel,
             "S_pad": S_pad, "nb_F": nb_F, "nb_obj": nb_obj,
         }
 
@@ -2046,9 +2042,8 @@ class Scorer:
 
     def _fused_finalize(self, spectra, d, masses, intens, Pk):
         """Unpack the fused-select fetch into the final FeatureTable;
-        returns None on stage-2 budget overflow (caller reruns via the
-        classic path, and the recorded density hint grows the next
-        compile's budget).
+        returns None on banded stage-1 entry-capacity overflow (caller
+        reruns via the classic path after growing the capacity).
 
         Exactness: the device selected each spectrum's top-Ksel
         candidates by an f32 hyperscore ORDER key; this host side
@@ -2063,10 +2058,6 @@ class Scorer:
         n_spec = d["n_spec"]
         p = self.params
         r_psms = p.report_psms
-        total = int(packed[-1, 0])
-        self._bc_hint = (total, n_spec)
-        if total > d["Bc"]:
-            return None
         if d.get("nb_F") is not None:
             totmax = int(packed[-1, 1])
             if totmax >= d["nb_F"]:
