@@ -1370,7 +1370,7 @@ class Scorer:
                 seg_meta.append((False, 1 << 30, entry[1], off))
                 off += entry[1]
             else:
-                Wb, Lcb, Rb = entry
+                Wb, Lcb, Rb = entry[0], entry[1], entry[2]
                 seg_meta.append((Wb <= K, Wb, Rb, off))
                 off += Rb
         # ladder rows for the rescore: the lane-padded 2D view gathers
@@ -1891,15 +1891,35 @@ class Scorer:
             segs = []
             for ci, (Wb, Lcb) in enumerate(classes):
                 idx = np.flatnonzero(assign == ci)
-                plan.append((Wb, Lcb, next_power_of_two(max(idx.size, 8))))
-                segs.append(idx)
+                if Zb > 1:
+                    # z-split: rows whose fragment-charge bound is 2
+                    # (charge-2 precursors) never populate the z>=2
+                    # compare planes — give them a Zc=1 program and skip
+                    # ~half their stage-1 work. Both sub-segments always
+                    # exist (a missing side is an 8-row stub) so the
+                    # plan's shape set stays stable across batches.
+                    z1 = idx[maxz[idx] <= 2]
+                    z2 = idx[maxz[idx] > 2]
+                    parts2 = [(z1, 1), (z2, Zb)]
+                else:
+                    parts2 = [(idx, Zb)]
+                from .open_search import _quarter_octave as _qoct
+
+                for idx_p, Zc in parts2:
+                    # quarter-octave row padding: pow2 wasted up to 2x
+                    # of a segment's rows (1533 -> 2048); {1, 1.25, 1.5,
+                    # 1.75} x 2^k keeps it under 12.5%
+                    plan.append((
+                        Wb, Lcb, _qoct(max(idx_p.size, 8)), Zc,
+                    ))
+                    segs.append(idx_p)
             plan = tuple(plan)
             R_tot = sum(p[2] for p in plan)
             ints = np.zeros((8, R_tot), dtype=np.int32)
             ints[0] = S_pad  # padding sentinel: scatters to the dump row
             ints[4] = 2
             off = 0
-            for (Wb, Lcb, Rb), idx in zip(plan, segs):
+            for (Wb, Lcb, Rb, _Zc), idx in zip(plan, segs):
                 nb = idx.size
                 sl = slice(off, off + nb)
                 ints[0, sl] = si[idx]
@@ -1971,8 +1991,26 @@ class Scorer:
         else:
             seg_outs = []
             off = 0
-            for (Wb, Lcb, Rb) in plan:
-                fnb, _co = self._stage1(Wb, Pk, Rb, Zb, Lcb)
+            for entry, idx_p in zip(plan, segs):
+                Wb, Lcb, Rb = entry[0], entry[1], entry[2]
+                Zc = entry[3] if len(entry) > 3 else Zb
+                if idx_p.size == 0:
+                    # empty segment (e.g. the sticky catch-all class, or
+                    # a z-split side with no rows this batch): per-
+                    # program launch costs ~1.3 ms on this link, so
+                    # substitute a cached zero output — the merge's perm
+                    # never references its rows
+                    co_e = Wb <= self.K
+                    cols = (Wb + 2) if co_e else (2 * self.K + 2)
+                    zkey = ("zeros", Rb, cols)
+                    if zkey not in self._stage1_cache:
+                        self._stage1_cache[zkey] = jnp.zeros(
+                            (Rb, cols), jnp.int32
+                        )
+                    seg_outs.append(self._stage1_cache[zkey])
+                    off += Rb
+                    continue
+                fnb, _co = self._stage1(Wb, Pk, Rb, Zc, Lcb)
                 run_b = (
                     fnb._unpacked if getattr(fnb, "_packed", False) else fnb
                 )
@@ -2410,13 +2448,22 @@ class Scorer:
         peptides — a per-width Lc max would recover nothing."""
         if n_rows < 256 or W < 64:
             return None
+        from .open_search import _quarter_octave as _qoct
+
         widths = (rows["i1"] - rows["i0"]).astype(np.int64)
-        levels = [W]
-        lvl = W // 2
-        while lvl >= 16 and len(levels) < 3:
-            levels.append(lvl)
-            lvl //= 2
-        lv = np.asarray(sorted(levels), np.int64)          # ascending
+        # width levels from the batch's REAL max width (not its pow2
+        # ceiling W) on a quarter-octave grid, stepping down by ~1/1.5:
+        # the measured padded/real compute ratio of pow2 levels was 4.1x;
+        # this grid holds width padding near 1.2x
+        levels = [_qoct(int(widths.max(initial=8)))]
+        while len(levels) < 4:
+            nxt = _qoct(max(levels[-1] * 2 // 3, 8))
+            if nxt >= levels[-1]:
+                nxt = levels[-1] // 2
+            if nxt < 16:
+                break
+            levels.append(nxt)
+        lv = np.asarray(sorted(set(levels)), np.int64)     # ascending
         assign = np.searchsorted(lv, widths, side="left")  # smallest fit
         counts = np.bincount(assign, minlength=lv.size)
         # fold sparse classes upward: a class must hold >= 10% of rows
