@@ -267,6 +267,70 @@ def profile_narrow(scorer, spectra, batch, reps=4):
     return prof
 
 
+def profile_open(scorer, spectra, batch):
+    """TRUE device execution split for one OPEN batch via chained
+    execution (see profile_narrow): open_s1_exec_s (peak-major gather/
+    sort/count segments), open_merge_exec_s, open_device_exec_s."""
+    import jax.numpy as jnp
+
+    from sage_tpu.ops.open_search import _device_open_count
+    from sage_tpu.utils import devprof
+
+    b = spectra[:batch]
+    prof = {}
+    masses, intens, Pk = scorer._pad_peaks(b)
+    peaks_dev = jnp.asarray(np.stack([masses, intens]))
+    rows = scorer._expand_rows(b)
+    cap = {}
+    d = scorer._fused_dispatch(
+        b, masses, intens, Pk, peaks_dev, rows=rows, capture=cap
+    )
+    if d is None or not cap.get("open_segs"):
+        prof["note"] = "open fused path inactive; no exec split"
+        return prof
+    scorer._fused_finalize(b, d, masses, intens, Pk)
+    osegs = cap["open_segs"]
+    fn = cap["fn"]
+    ints_dev = cap["ints_dev"]
+    perm_dev = cap["perm_dev"]
+    seg_outs0 = cap["seg_outs"]
+
+    def step_s1(c):
+        z = c[0] * 0
+        outs = [
+            _device_open_count(sd[0], sd[1] + z, *sd[2:], **kw)
+            for sd, kw in osegs
+        ]
+        return outs[-1][0, :1]
+
+    def step_merge(c):
+        z = c[0] * 0
+        small, _i, _m = fn(peaks_dev, ints_dev + z, perm_dev, seg_outs0)
+        return small[-1, :1].astype(jnp.int32)
+
+    def step_all(c):
+        z = c[0] * 0
+        outs = [
+            _device_open_count(sd[0], sd[1] + z, *sd[2:], **kw)
+            for sd, kw in osegs
+        ]
+        small, _i, _m = fn(peaks_dev, ints_dev + z, perm_dev, outs)
+        return small[-1, :1].astype(jnp.int32)
+
+    prof["open_s1_exec_s"] = round(devprof.chained_exec_s(step_s1), 4)
+    prof["open_merge_exec_s"] = round(
+        devprof.chained_exec_s(step_merge), 4
+    )
+    prof["open_device_exec_s"] = round(
+        devprof.chained_exec_s(step_all), 4
+    )
+    if prof["open_device_exec_s"] > 0:
+        prof["open_device_only_sps"] = round(
+            batch / prof["open_device_exec_s"], 1
+        )
+    return prof
+
+
 def synth_mgf(spectra, path, file_stem):
     """Write spectra as MGF (the pipeline bench input: text, fast to
     parse, exercises the same read->process->search->ML->write path)."""
@@ -456,6 +520,15 @@ def main():
                 osps / (ob1 * BASELINE_CORES), 4
             )
             result["open_vs_baseline_1core"] = round(osps / ob1, 3)
+        if os.environ.get("BENCH_PROFILE", "1") != "0":
+            try:
+                oprof = profile_open(
+                    oscorer, spectra[:N_SPECTRA_OPEN], BATCH_OPEN
+                )
+                result.update(oprof)
+                print(f"# open profile: {oprof}", file=sys.stderr)
+            except Exception as e:
+                print(f"# open profile failed: {e}", file=sys.stderr)
 
     # --- warm full-pipeline throughput (first-class, smaller scale) ---
     if os.environ.get("BENCH_PIPELINE", "1") != "0":

@@ -1972,15 +1972,20 @@ class Scorer:
 
             seg_outs = []
             for seg in open_segs:
-                seg_outs.append(_device_open_count(
+                sd = (
                     seg["os"].frag_pep8_dev,
                     jnp.asarray(seg["starts"]), jnp.asarray(seg["lens"]),
                     jnp.asarray(seg["lspec"]), jnp.asarray(seg["li0"]),
                     jnp.asarray(seg["li1"]), jnp.asarray(seg["lmz"]),
+                )
+                kw = dict(
                     F=seg["F_b"], Wc=seg["Wc_b"], Pk=seg["Pk_eff"],
                     Z=Zb, K=self.K, R=seg["R_b"], chunked=seg["chunked"],
                     psort=use_pallas_sort(seg["F_b"], seg["os"].n_pep),
-                ))
+                )
+                seg_outs.append(_device_open_count(*sd, **kw))
+                if capture is not None:
+                    capture.setdefault("open_segs", []).append((sd, kw))
         elif nb_obj is not None:
             packed_b, totmax, nb_F = nb_obj.dispatch(
                 peaks_dev, rows, ints_dev, plan[0][1], Zb,
@@ -2024,11 +2029,11 @@ class Scorer:
                         (run_b, ints_seg)
                     )
                 off += Rb
-            if capture is not None:
-                capture.update(
-                    fn=fn, ints_dev=ints_dev, peaks_dev=peaks_dev,
-                    seg_outs=seg_outs, perm_dev=perm_dev,
-                )
+        if capture is not None:
+            capture.update(
+                fn=fn, ints_dev=ints_dev, peaks_dev=peaks_dev,
+                seg_outs=seg_outs, perm_dev=perm_dev,
+            )
         if timings is not None:
             import jax as _jax
 
