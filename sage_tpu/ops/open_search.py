@@ -374,10 +374,11 @@ class OpenSearcher:
             lo, hi = t.bounds(np.float32(1000.0))
             wfrac = (float(hi) - float(lo)) / 1000.0
         est_len = db.num_fragments * wfrac
-        # measured optima on v5e (-500/+100 Da, 10 ppm): 19M frags -> 4
-        # bands, 57M -> 16; both sit near banded window length ~150-280,
-        # i.e. NB ~= est_len / 128 rounded up to a power of two
-        target = max(est_len / 128.0, 1.0)
+        # measured optimum (-500/+100 Da, 10 ppm, 19M frags, two-stage
+        # top-K count): NB=16 at 11.3k sp/s device-only vs 6.9k at NB=4
+        # and 4.9k at NB=64 — i.e. banded window length ~24, NB ~=
+        # est_len / 32 rounded up to a power of two
+        target = max(est_len / 32.0, 1.0)
         nb = 1
         while nb < 64 and nb < target:
             nb *= 2

@@ -1258,19 +1258,25 @@ class Scorer:
             return e
 
         def advance(e):
-            # stage-1 fetch + host merge + stage-2 dispatch (no-op for the
-            # fused single-dispatch path)
+            # stage-1 fetch + host merge + stage-2 dispatch; for the
+            # fused single-dispatch path, the packed-result fetch itself
+            # — device_get releases the GIL, so running it here (the
+            # worker thread in threaded mode) overlaps the ~100 ms
+            # tunnel round trip with the main thread's admits/finalizes
             if e["fd"] is None:
                 e["prelim"] = self._prelim_finalize(e["d1"])
                 e["d2"] = self._stage2_dispatch(
                     e["prelim"], e["intens"], e["Pk"], peaks_dev=e["peaks_dev"],
                 )
+            else:
+                e["packed_np"] = np.asarray(_dget(e["fd"]["fused"]))
             return e
 
         def finish(e):
             if e["fd"] is not None:
                 t = self._fused_finalize(
-                    e["batch"], e["fd"], e["masses"], e["intens"], e["Pk"]
+                    e["batch"], e["fd"], e["masses"], e["intens"], e["Pk"],
+                    packed=e.get("packed_np"),
                 )
                 if t is not None:
                     return t
@@ -2083,7 +2089,8 @@ class Scorer:
     # cannot prove the unfetched twin identical.
     SELECT_EPS = 2e-3
 
-    def _fused_finalize(self, spectra, d, masses, intens, Pk):
+    def _fused_finalize(self, spectra, d, masses, intens, Pk,
+                        packed=None):
         """Unpack the fused-select fetch into the final FeatureTable;
         returns None on banded stage-1 entry-capacity overflow (caller
         reruns via the classic path after growing the capacity).
@@ -2096,7 +2103,8 @@ class Scorer:
         set. Spectra that trip the guard are recomputed from the
         untruncated on-device candidate arrays — byte-identical output
         to the classic path, always."""
-        packed = np.asarray(_dget(d["fused"]))
+        if packed is None:
+            packed = np.asarray(_dget(d["fused"]))
         S_pad, Ksel = d["S_pad"], d["Ksel"]
         n_spec = d["n_spec"]
         p = self.params
