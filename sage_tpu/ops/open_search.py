@@ -89,6 +89,117 @@ def spectrum_window_union(rows, B):
     return np.where(u1 > 0, u0, 0), u1
 
 
+@functools.partial(
+    jax.jit, static_argnames=("Zb", "nbcov", "tol")
+)
+def _device_ranges(
+    mz64,       # f32 [R64, 64] band-aligned sorted masses (+inf pad)
+    dec,        # f32 [n_bands, DEC] every 64th mass per band (+inf pad)
+    row_off,    # i32 [n_bands] first mz64 row of each band
+    blen,       # i32 [n_bands] true entries per band
+    boff,       # i32 [n_bands] band start in the ORIGINAL flat arrays
+    bfirst,     # f32 [n_bands] first mass per band (+inf when empty)
+    blast,      # f32 [n_bands] last mass per band (-inf when empty)
+    peaks,      # f32 [2, B, Pk]
+    band_ids,   # i32 [B, nbcov] covered band per slot (clipped)
+    bvalid,     # bool [B, nbcov]
+    *, Zb, nbcov, tol,
+):
+    """Exact per-(z, peak, band) window ranges on device — see
+    OpenSearcher.ranges_device. The rank of a bound among a band's
+    sorted masses: j = #(decimated values OP bound) locates the one
+    64-lane row that can contain the boundary (positions [0, 64j) all
+    satisfy OP, position 64j+63 does not), and a masked compare-count
+    inside that row finishes it. Exact for any duplicate structure."""
+    from .search import tol_bounds_static
+
+    masses = peaks[0]
+    B, Pk = masses.shape
+    NR = mz64.shape[0]
+    kind, lo_t, hi_t = tol
+    BIG = np.float32(3.0e38)
+    lane = jnp.arange(64, dtype=jnp.int32)
+
+    def rank_slot(bound, bids):
+        # bound: [B, Pk, 2] f32 with the strict (lo) bound in [..., 0]
+        # and the inclusive (hi) bound in [..., 1] (non-finite lanes
+        # replaced by BIG, masked afterward); bids: [B] band per
+        # spectrum for this covered-band slot. One slot at a time keeps
+        # the gathered intermediates at [B, Pk, 2, 64] — the all-slots
+        # form OOMed at B=1024.
+        ro = row_off[bids]                       # [B]
+        bl = blen[bids]
+        rows_b = (bl + 63) // 64
+        d = dec[bids]                            # [B, DEC]
+        cs = jnp.sum(
+            (d[:, None, :] < bound[..., 0][..., None]),
+            axis=-1, dtype=jnp.int32,
+        )
+        ci = jnp.sum(
+            (d[:, None, :] <= bound[..., 1][..., None]),
+            axis=-1, dtype=jnp.int32,
+        )
+        j2 = jnp.stack([cs, ci], axis=-1)        # [B, Pk, 2]
+        jr = jnp.minimum(
+            j2, jnp.maximum(rows_b[:, None, None] - 1, 0)
+        )
+        rowidx = jnp.clip(ro[:, None, None] + jr, 0, NR - 1)
+        vals = mz64[rowidx]                      # [B, Pk, 2, 64]
+        lanepos = jr[..., None] * 64 + lane
+        ok = lanepos < bl[:, None, None, None]
+        c = jnp.where(
+            jnp.arange(2, dtype=jnp.int32)[None, None, :, None] == 0,
+            vals < bound[..., 0][..., None, None],
+            vals <= bound[..., 1][..., None, None],
+        )
+        cnt = jnp.sum((c & ok).astype(jnp.int32), axis=-1)
+        return jnp.minimum(jr * 64 + cnt, bl[:, None, None])
+
+    starts_l, lens_l = [], []
+    for zi in range(Zb):
+        q = masses * np.float32(zi + 1)
+        lo_b, hi_b = tol_bounds_static(kind, lo_t, hi_t, q)
+        finite = jnp.isfinite(lo_b) & jnp.isfinite(hi_b)
+        lo_c = jnp.where(finite, lo_b, BIG)
+        hi_c = jnp.where(finite, hi_b, BIG)
+        bound = jnp.stack([lo_c, hi_c], axis=-1)  # [B, Pk, 2]
+        for k in range(nbcov):
+            bids = band_ids[:, k]
+            r = rank_slot(bound, bids)           # [B, Pk, 2]
+            # the host's `hit` shortcut: windows that don't overlap the
+            # band's mass span keep start 0 — reproduced exactly so the
+            # device arrays are byte-identical to ranges()
+            hit = (
+                finite & bvalid[:, k][:, None]
+                & (hi_b >= bfirst[bids][:, None])
+                & (lo_b <= blast[bids][:, None])
+            )
+            ln = jnp.where(hit, jnp.maximum(r[..., 1] - r[..., 0], 0), 0)
+            st = jnp.where(hit, boff[bids][:, None] + r[..., 0], 0)
+            # host layout: col = (zi*nbcov + k)*Pk + pk
+            starts_l.append(st)
+            lens_l.append(ln)
+    return (
+        jnp.concatenate(starts_l, axis=1).astype(jnp.int32),
+        jnp.concatenate(lens_l, axis=1).astype(jnp.int32),
+    )
+
+
+@jax.jit
+def _range_stats(starts, lens):
+    """Device [2] i32: (max per-spectrum total entries, max per-spectrum
+    gather rows) — the sticky-shape overflow check for device-planned
+    open batches (threaded to the host through the merge tail row)."""
+    ends = starts + lens
+    rows = jnp.where(
+        lens > 0, (ends + (V_ROW - 1)) // V_ROW - starts // V_ROW, 0
+    )
+    return jnp.stack([
+        jnp.max(jnp.sum(lens, axis=1)),
+        jnp.max(jnp.sum(rows, axis=1)),
+    ]).astype(jnp.int32)
+
+
 def _entries_rows(frag_pep8, starts, lens, Wr, Pk, Z):
     """Row-aligned wide-row gather: [B, F2] sort keys (+ z tags) where
     window w (fragment range [s, e)) owns the whole V_ROW-aligned table
@@ -422,6 +533,105 @@ class OpenSearcher:
         self.frag_pep8_dev = jnp.asarray(pep_pad.reshape(-1, V_ROW))
         self.Z = Z
         self.K = K
+        self._dev_rng = None  # lazy device-ranges tables
+        self._sticky_shapes = None  # learned static shapes (see below)
+
+    def note_shapes(self, chunked: bool, Wc: int, max_total: int):
+        """Record quarter-octave STICKY static shapes from a host-
+        planned batch, enabling the device-planned fast path (no host
+        searchsorted, no ranges upload) for every later batch. A 1.25x
+        margin over the observed maxima absorbs batch-to-batch
+        variation; violations are detected on device and grown."""
+        F = _quarter_octave(int(max_total * 1.25) + 64)
+        F = ((max(F, self.K, 128) + 127) // 128) * 128
+        self._sticky_shapes = {
+            "chunked": bool(chunked),
+            "Wc": _quarter_octave(max(int(Wc * 1.25), 8)),
+            "F": F,
+        }
+
+    def grow_shapes(self, tot_e: int, tot_r: int):
+        st = self._sticky_shapes
+        if st is None:  # pragma: no cover - defensive
+            return
+        F = _quarter_octave(int(tot_e * 1.25) + 64)
+        st["F"] = ((max(F, st["F"], self.K, 128) + 127) // 128) * 128
+        st["Wc"] = max(
+            _quarter_octave(max(int(tot_r * 1.25), 8)), st["Wc"]
+        )
+
+    def _dev_ranges_tables(self):
+        """Device tables for the decimated-rank range probe: a band-
+        aligned 64-lane copy of the sorted masses, the per-band
+        decimation (every 64th value), and per-band row offsets/lengths.
+        Built once (~N*4 bytes of HBM, plus N/64 for the decimation)."""
+        if self._dev_rng is not None:
+            return self._dev_rng
+        nb = self.n_bands
+        off = self.band_off
+        lens_b = np.diff(off)
+        rows_b = -(-lens_b // 64)
+        row_off = np.concatenate([[0], np.cumsum(rows_b)]).astype(np.int64)
+        R64 = int(row_off[-1]) + 1  # +1 all-inf guard row
+        mz64 = np.full((R64, 64), np.inf, np.float32)
+        dec_n = max(int(rows_b.max(initial=1)), 1)
+        dec = np.full((nb, dec_n), np.inf, np.float32)
+        for b in range(nb):
+            seg = self.frag_mz[off[b] : off[b + 1]]
+            r0, r1 = row_off[b], row_off[b + 1]
+            flat = mz64[r0:r1].reshape(-1)
+            flat[: seg.size] = seg
+            mz64[r0:r1] = flat.reshape(-1, 64)
+            dec[b, : rows_b[b]] = mz64[r0:r1, 63]
+        bfirst = np.full(nb, np.inf, np.float32)
+        blast = np.full(nb, -np.inf, np.float32)
+        ne = lens_b > 0
+        bfirst[ne] = self.frag_mz[off[:-1][ne]]
+        blast[ne] = self.frag_mz[off[1:][ne] - 1]
+        self._dev_rng = (
+            jnp.asarray(mz64),
+            jnp.asarray(dec),
+            jnp.asarray(row_off[:-1].astype(np.int32)),
+            jnp.asarray(lens_b.astype(np.int32)),
+            jnp.asarray(off[:-1].astype(np.int32)),
+            jnp.asarray(bfirst),
+            jnp.asarray(blast),
+        )
+        return self._dev_rng
+
+    def ranges_device(self, peaks_dev, u0, u1, Zb: int):
+        """Device-computed (starts, lens) — bit-identical to ranges()
+        (property-tested) with NO host searchsorted and NO [B, Zb*Pk*
+        nbcov] upload (~2.6 MiB/batch at 16 bands, ~100 ms of tunnel
+        latency per transfer on high-latency links). Each bound's rank
+        in its band segment comes from a dense compare against the
+        band's 64x-decimated masses (the coarse row) plus ONE aligned
+        64-lane row gather (the exact refinement) — data-independent
+        and exact, duplicates included. Returns device arrays laid out
+        exactly like ranges(), plus nbcov."""
+        B = int(peaks_dev.shape[1])
+        nb = self.n_bands
+        if u0 is None or nb == 1:
+            b0 = np.zeros(B, np.int64)
+            b1 = np.full(B, nb - 1, np.int64)
+        else:
+            b0 = np.clip(u0 // self.band_w, 0, nb - 1).astype(np.int64)
+            b1 = np.clip(
+                np.maximum(u1 - 1, 0) // self.band_w, 0, nb - 1
+            ).astype(np.int64)
+            b1 = np.maximum(b1, b0)
+        nbcov = int((b1 - b0 + 1).max()) if B else 1
+        bands = b0[:, None] + np.arange(nbcov)[None, :]
+        valid = bands <= b1[:, None]
+        bands_c = np.clip(bands, 0, nb - 1).astype(np.int32)
+        tabs = self._dev_ranges_tables()
+        t = self.frag_tol
+        st, ln = _device_ranges(
+            *tabs, peaks_dev, jnp.asarray(bands_c), jnp.asarray(valid),
+            Zb=Zb, nbcov=nbcov,
+            tol=(t.kind, float(t.lo), float(t.hi)),
+        )
+        return st, ln, nbcov
 
     def ranges(
         self, masses: np.ndarray, Zb: int,

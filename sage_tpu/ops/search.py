@@ -1562,6 +1562,10 @@ class Scorer:
                 .at[0, 0].set(total.astype(jnp.float32))
                 .at[0, 1].set(tail_extra[0].astype(jnp.float32))
             )
+            if tail_extra.shape[0] > 1:
+                tail = tail.at[0, 2].set(
+                    tail_extra[1].astype(jnp.float32)
+                )
             small = jnp.concatenate([rows7, stats, tail], axis=0)
 
             # ---- untruncated per-item arrays, kept ON DEVICE for the
@@ -1762,41 +1766,106 @@ class Scorer:
         width = (rows["i1"] - rows["i0"]).astype(np.int64)
 
         open_geom = None
+        open_sticky = None
         if open_regime:
             # open regime: the peak-major open stage 1 produces the same
-            # [R, 2K+2] pseudo-segment layout — host range planning here,
-            # device count + merge/rescore/select exactly as narrow. A
-            # p75 size-class split (or element-budget split) becomes TWO
-            # pseudo-segments, each counted at its own entry capacity —
-            # the merge scatter reassembles them by (spectrum, slot).
+            # [R, 2K+2] pseudo-segment layout — device count + merge/
+            # rescore/select exactly as narrow. Range planning has two
+            # modes: the first (or any split/oversized) batch plans on
+            # the host (searchsorted ranges; measured ~96 ms per
+            # 512-spectrum batch at 16 bands, plus a ~4 MiB upload) and
+            # records quarter-octave STICKY static shapes; every later
+            # batch computes its ranges ON DEVICE (ranges_device, bit-
+            # identical) under the sticky shapes, with a device-computed
+            # overflow check that falls back + grows on violation.
             os_ = self._open_searcher()
-            geom = os_._geometry(masses, rows, Zb, None)
-            g_starts, g_lens, Pk_eff, chunked, size, Wc, F_open = geom
-            split = os_._find_split(n_spec, size)
-            if split is not None:
-                # one split level is expressible as two pseudo-segments;
-                # anything needing deeper recursion goes classic
-                for s_ids in (np.flatnonzero(split),
-                              np.flatnonzero(~split)):
-                    if s_ids.size and (
-                        s_ids.size * (int(size[s_ids].max()) + 1)
-                        > os_.MAX_ELEMENTS
-                    ):
-                        return None
-            open_geom = (
-                os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_open, split,
-                size,
-            )
+            stk = getattr(os_, "_sticky_shapes", None)
+            if (
+                os.environ.get("SAGE_TPU_OPEN_DEV_RANGES", "1") != "0"
+                and stk is not None
+                and n_spec * stk["F"] <= os_.MAX_ELEMENTS
+            ):
+                open_sticky = dict(stk)
+            else:
+                geom = os_._geometry(masses, rows, Zb, None)
+                g_starts, g_lens, Pk_eff, chunked, size, Wc, F_open = geom
+                split = os_._find_split(n_spec, size)
+                if split is not None:
+                    # one split level is expressible as two pseudo-
+                    # segments; deeper recursion goes classic
+                    for s_ids in (np.flatnonzero(split),
+                                  np.flatnonzero(~split)):
+                        if s_ids.size and (
+                            s_ids.size * (int(size[s_ids].max()) + 1)
+                            > os_.MAX_ELEMENTS
+                        ):
+                            return None
+                open_geom = (
+                    os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_open,
+                    split, size,
+                )
 
         nb_obj = None if open_regime else self._narrow_banded_maybe(W)
         open_segs = None
-        if open_geom is not None:
+        if open_sticky is not None:
+            from .open_search import (
+                V_ROW as V_ROW_OS,
+                _range_stats,
+                spectrum_window_union,
+            )
+
+            u0_d, u1_d = spectrum_window_union(rows, n_spec)
+            st_dev, ln_dev, _nbc = os_.ranges_device(
+                peaks_dev, u0_d, u1_d, Zb
+            )
+            Pk_eff = int(st_dev.shape[1]) // max(Zb, 1)
+            chunked = open_sticky["chunked"]
+            Wc_b = open_sticky["Wc"]
+            F_b = open_sticky["F"]
+            if chunked:
+                F_b = min(F_b, Wc_b * V_ROW_OS)
+            open_sticky["F_eff"] = F_b
+            R_b = next_power_of_two(max(n_rows, 8))
+            lspec = np.full(R_b, n_spec, np.int32)
+            li0 = np.zeros(R_b, np.int32)
+            li1 = np.zeros(R_b, np.int32)
+            lmz = np.full(R_b, 2, np.int32)
+            lspec[:n_rows] = si
+            li0[:n_rows] = rows["i0"]
+            li1[:n_rows] = rows["i1"]
+            lmz[:n_rows] = maxz
+            open_segs = [{
+                "os": os_, "spec_ids": np.arange(n_spec),
+                "rows_idx": np.arange(n_rows),
+                "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
+                "chunked": chunked, "Pk_eff": Pk_eff,
+                "starts": st_dev, "lens": ln_dev,
+                "lspec": lspec, "li0": li0, "li1": li1, "lmz": lmz,
+            }]
+            plan = (("banded", R_b),)
+            ints = np.zeros((8, R_b), dtype=np.int32)
+            ints[0] = S_pad
+            ints[4] = 2
+            ints[0, :n_rows] = si
+            ints[2, :n_rows] = rows["i0"]
+            ints[3, :n_rows] = rows["i1"]
+            ints[4, :n_rows] = maxz
+            ints[5, :n_rows] = rows["z"]
+            ints[6, :n_rows] = rows["iso"]
+            ints[7, :n_rows] = slot
+            # device-computed shape-overflow stats (vs the sticky F/Wc),
+            # returned through the tail row and checked in the finalize
+            open_sticky["stats"] = _range_stats(st_dev, ln_dev)
+            open_sticky["os"] = os_
+        elif open_geom is not None:
             from .open_search import V_ROW as V_ROW_OS
             from .open_search import _quarter_octave
 
             (os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_all, split,
              size) = open_geom
             totals = g_lens.sum(axis=1)
+            if split is None:
+                os_.note_shapes(chunked, Wc, int(totals.max(initial=0)))
             sides = (
                 [np.arange(n_spec)] if split is None
                 else [np.flatnonzero(split), np.flatnonzero(~split)]
@@ -1976,6 +2045,8 @@ class Scorer:
             from .open_search import _device_open_count
             from .pallas_sort import use_pallas_sort
 
+            if open_sticky is not None:
+                tail_extra = open_sticky.pop("stats")
             seg_outs = []
             for seg in open_segs:
                 sd = (
@@ -2077,6 +2148,7 @@ class Scorer:
             "n_rows": n_rows, "n_spec": n_spec,
             "Bc": S_pad * self.K, "Ksel": Ksel,
             "S_pad": S_pad, "nb_F": nb_F, "nb_obj": nb_obj,
+            "open_sticky": open_sticky,
         }
 
     # The device's hs32 and the host's f64 hyperscore consume the SAME
@@ -2118,6 +2190,25 @@ class Scorer:
                 log.info(
                     "banded narrow stage-1 entry capacity %d exceeded "
                     "(max %d); growing", d["nb_F"], totmax,
+                )
+                return None
+        ost = d.get("open_sticky")
+        if ost is not None:
+            # device-planned open batch: the device reported the true
+            # max per-spectrum entry/row totals through the tail row —
+            # a sticky-shape violation means truncated entries, so grow
+            # the sticky shapes and rerun this batch via the classic
+            # (host-planned) path
+            tot_e = int(packed[-1, 1])
+            tot_r = int(packed[-1, 2])
+            if tot_e >= ost["F_eff"] or (
+                ost["chunked"] and tot_r > ost["Wc"]
+            ):
+                ost["os"].grow_shapes(tot_e, tot_r)
+                log.info(
+                    "open sticky shapes exceeded (entries %d vs F %d, "
+                    "rows %d vs Wc %d); growing",
+                    tot_e, ost["F_eff"], tot_r, ost["Wc"],
                 )
                 return None
         rows7 = packed[: S_pad * Ksel].reshape(S_pad, Ksel, 7)[:n_spec]

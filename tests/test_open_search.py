@@ -296,3 +296,101 @@ def test_open_charge_sweep_matches_candidate_major(db, monkeypatch):
         )
     # the sweep really produced multiple charges
     assert len(set(t_open.columns["charge"].tolist())) > 1
+
+
+def test_device_ranges_match_host(db):
+    """ranges_device (decimated-rank probe on device) must be
+    bit-identical to the host searchsorted ranges() — starts and lens —
+    across band counts, charges, padding peaks, and window edges."""
+    import jax.numpy as jnp
+
+    from sage_tpu.ops.open_search import OpenSearcher, spectrum_window_union
+
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+    )
+    spectra = _spectra(db, 24, seed=7)
+    sc = Scorer(db, sp)
+    masses, intens, Pk = sc._pad_peaks(spectra)
+    rows = sc._expand_rows(spectra)
+    peaks_dev = jnp.asarray(np.stack([masses, intens]))
+    B = masses.shape[0]
+    u0, u1 = spectrum_window_union(rows, B)
+    for nb in (1, 3, 8):
+        os.environ["SAGE_TPU_OPEN_BANDS"] = str(nb)
+        try:
+            osr = OpenSearcher(
+                db, sp.fragment_tol, 2, K=50,
+                precursor_tol=sp.precursor_tol,
+            )
+        finally:
+            del os.environ["SAGE_TPU_OPEN_BANDS"]
+        for Zb in (1, 2):
+            h_st, h_ln = osr.ranges(masses, Zb, u0, u1)
+            d_st, d_ln, nbcov = osr.ranges_device(peaks_dev, u0, u1, Zb)
+            assert h_st.shape == d_st.shape, (nb, Zb)
+            np.testing.assert_array_equal(
+                np.asarray(d_ln), h_ln, err_msg=f"lens nb={nb} Zb={Zb}"
+            )
+            # host zeroes starts of empty windows; the device does too
+            np.testing.assert_array_equal(
+                np.asarray(d_st), h_st, err_msg=f"starts nb={nb} Zb={Zb}"
+            )
+
+
+def test_open_sticky_device_ranges_equivalence(db, monkeypatch):
+    """Batch 1 plans on the host and records sticky shapes; batches 2+
+    plan ranges ON DEVICE. The whole stream must match the all-host
+    path byte-for-byte."""
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+    )
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    spectra = _spectra(db, 48, seed=11)
+    batches = [spectra[i : i + 16] for i in range(0, 48, 16)]
+    monkeypatch.setenv("SAGE_TPU_OPEN_DEV_RANGES", "0")
+    t_ref = list(Scorer(db, sp).score_stream(batches))
+    monkeypatch.setenv("SAGE_TPU_OPEN_DEV_RANGES", "1")
+    sc = Scorer(db, sp)
+    t_dev = list(sc.score_stream(batches))
+    assert sc._open_searcher()._sticky_shapes is not None
+    assert sum(len(t) for t in t_ref) > 0
+    for a, b in zip(t_ref, t_dev):
+        assert len(a) == len(b)
+        for k in a.columns:
+            np.testing.assert_array_equal(
+                b.columns[k], a.columns[k], err_msg=k
+            )
+
+
+def test_open_sticky_overflow_grows_and_redoes(db, monkeypatch):
+    """A device-planned batch that violates the sticky shapes must be
+    detected (device-computed stats through the tail row), grown, and
+    redone with identical results."""
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+    )
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    spectra = _spectra(db, 32, seed=13)
+    batches = [spectra[:16], spectra[16:]]
+    monkeypatch.setenv("SAGE_TPU_OPEN_DEV_RANGES", "0")
+    t_ref = list(Scorer(db, sp).score_stream(batches))
+    monkeypatch.setenv("SAGE_TPU_OPEN_DEV_RANGES", "1")
+    sc = Scorer(db, sp)
+    t0 = sc.score_table(batches[0])       # host-planned, records sticky
+    os_ = sc._open_searcher()
+    assert os_._sticky_shapes is not None
+    os_._sticky_shapes["F"] = 128         # force an entries violation
+    os_._sticky_shapes["Wc"] = 8
+    t1 = sc.score_table(batches[1])       # device-planned -> redo
+    assert getattr(sc, "fused_reruns", 0) >= 1
+    assert os_._sticky_shapes["F"] > 128  # grew from the device stats
+    for a, b in zip(t_ref, (t0, t1)):
+        assert len(a) == len(b)
+        for k in a.columns:
+            np.testing.assert_array_equal(
+                b.columns[k], a.columns[k], err_msg=k
+            )
