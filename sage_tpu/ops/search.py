@@ -1259,31 +1259,34 @@ class Scorer:
 
         def advance(e):
             # stage-1 fetch + host merge + stage-2 dispatch; for the
-            # fused single-dispatch path, the packed-result fetch itself
-            # — device_get releases the GIL, so running it here (the
-            # worker thread in threaded mode) overlaps the ~100 ms
-            # tunnel round trip with the main thread's admits/finalizes
+            # fused single-dispatch path, the packed-result fetch AND
+            # the whole host finalize (including any select-guard
+            # fallback round trip) — device_get releases the GIL and the
+            # finalize is numpy, so in threaded mode the main thread
+            # only admits batches while this overlaps with it
             if e["fd"] is None:
                 e["prelim"] = self._prelim_finalize(e["d1"])
                 e["d2"] = self._stage2_dispatch(
                     e["prelim"], e["intens"], e["Pk"], peaks_dev=e["peaks_dev"],
                 )
             else:
-                e["packed_np"] = np.asarray(_dget(e["fd"]["fused"]))
+                packed_np = np.asarray(_dget(e["fd"]["fused"]))
+                e["table"] = self._fused_finalize(
+                    e["batch"], e["fd"], e["masses"], e["intens"],
+                    e["Pk"], packed=packed_np,
+                )
             return e
 
         def finish(e):
             if e["fd"] is not None:
-                t = self._fused_finalize(
-                    e["batch"], e["fd"], e["masses"], e["intens"], e["Pk"],
-                    packed=e.get("packed_np"),
-                )
+                t = e.get("table")
                 if t is not None:
                     return t
                 self.fused_reruns = getattr(self, "fused_reruns", 0) + 1
                 log.warning(
-                    "banded entry-capacity overflow; re-running batch via "
-                    "the two-dispatch path"
+                    "fused capacity overflow (banded entries or open "
+                    "sticky shapes); re-running batch via the "
+                    "two-dispatch path"
                 )
                 prelim = self._preliminary(
                     e["batch"], masses=e["masses"], peaks_dev=e["peaks_dev"]
