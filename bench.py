@@ -145,13 +145,15 @@ def best_baseline(run, tries: int = 3):
 
 
 def profile_narrow(scorer, spectra, batch, reps=4):
-    """Phase-split one narrow batch through the PRODUCTION (fused) path:
-    host prep / stage-1 device / merge+rescore+select device / host
-    finalize / upload / RTT. Device terms come from the dispatch's own
-    ``timings`` hook — a blocking scalar fetch after each phase, timed
-    sequentially over ``reps`` dispatches with the link RTT subtracted —
-    which measures the real executables the throughput number runs, not
-    a reconstruction."""
+    """Phase-split one narrow batch through the PRODUCTION (fused) path.
+
+    TRUE device execution (s1_exec_s / merge_exec_s / device_exec_s)
+    comes from devprof.chained_exec_s on the captured production
+    executables — data-dependent chains, no dispatch latency, transfer
+    or RTT in the number. The blocking-fetch phase times are kept as
+    *_roundtrip_s: they bound LATENCY (each includes a device fetch
+    costing 2-3x the nominal RTT on tunneled links) and historically
+    overstated device time ~3x."""
     import jax.numpy as jnp
 
     from sage_tpu.utils import devprof
