@@ -165,12 +165,14 @@ def profile_narrow(scorer, spectra, batch, reps=4):
 
     masses, intens, Pk = scorer._pad_peaks(b)
     rows = scorer._expand_rows(b)
-    peaks_np = np.stack([masses, intens])
-    peaks_dev = jnp.asarray(peaks_np)
+    peaks_dev = scorer._peaks_device(b, masses, intens, Pk)
+    # the production upload is RAGGED (real peaks only, re-padded on
+    # device) — measure that volume, not the padded grid's
+    ragged_bytes = 2 * 4 * sum(len(s) for s in b) + 4 * (len(b) + 1)
     prof["upload_s"] = round(
-        devprof.upload_s(peaks_np.nbytes, rtt=rtt), 4
+        devprof.upload_s(ragged_bytes, rtt=rtt), 4
     )
-    prof["upload_mib"] = round(peaks_np.nbytes / 2**20, 2)
+    prof["upload_mib"] = round(ragged_bytes / 2**20, 2)
 
     # warm (compiles); also learns the stage-2 budget
     d = scorer._fused_dispatch(b, masses, intens, Pk, peaks_dev, rows=rows)

@@ -558,6 +558,25 @@ def pipeline_stream(batches, admit, advance, finish):
         yield finish_any(pend.popleft())
 
 
+@partial(jax.jit, static_argnames=("Pk",))
+def _unpack_peaks(flat, offs, *, Pk):
+    """Re-pad ragged peaks on device: flat [2, T_pad] (masses row 0,
+    intensities row 1, tail prefilled with the pad values), offs [B+1]
+    i32. Returns [2, B, Pk] bit-identical to uploading _pad_peaks'
+    padded arrays (pads: masses +inf, intensities -1)."""
+    j = jnp.arange(Pk, dtype=jnp.int32)
+
+    def per(o0, o1):
+        sl = jax.lax.dynamic_slice(flat, (0, o0), (2, Pk))
+        valid = j < (o1 - o0)
+        m = jnp.where(valid, sl[0], np.float32(np.inf))
+        i = jnp.where(valid, sl[1], np.float32(-1.0))
+        return m, i
+
+    m, i = jax.vmap(per)(offs[:-1], offs[1:])
+    return jnp.stack([m, i])
+
+
 def count_fragment_matches(f, fvalid, peaks, frag_tol, maxz, Z):
     """Per-candidate matched-peak counts via the rank-difference trick.
 
@@ -1162,6 +1181,36 @@ class Scorer:
             "i1": i1,
         }
 
+    def _peaks_device(self, spectra, masses, intens, Pk):
+        """Device-resident packed peaks [2, B, Pk]. By default ships the
+        RAGGED peaks (mean fill ~60% of the padded grid in practice) and
+        re-pads on device — bit-identical to uploading the padded
+        arrays, ~40% less upload on bandwidth-limited links. Falls back
+        to the padded upload when the grid is nearly full or via
+        SAGE_TPU_RAGGED_UPLOAD=0."""
+        import os
+
+        S = len(spectra)
+        lens = np.fromiter((len(s) for s in spectra), np.int64, count=S)
+        T = int(lens.sum())
+        if (
+            os.environ.get("SAGE_TPU_RAGGED_UPLOAD", "1") == "0"
+            or S == 0
+            or T >= 0.9 * S * Pk
+        ):
+            return jnp.asarray(np.stack([masses, intens]))
+        from .open_search import _quarter_octave
+
+        T_pad = _quarter_octave(max(T + Pk, 8))
+        flat = np.empty((2, T_pad), np.float32)
+        flat[0] = np.inf
+        flat[1] = -1.0
+        flat[0, :T] = np.concatenate([s.masses for s in spectra])
+        flat[1, :T] = np.concatenate([s.intensities for s in spectra])
+        offs = np.zeros(S + 1, np.int32)
+        offs[1:] = np.cumsum(lens)
+        return _unpack_peaks(jnp.asarray(flat), jnp.asarray(offs), Pk=Pk)
+
     def _pad_peaks(self, spectra: Sequence[ProcessedSpectrum]):
         S = len(spectra)
         lens = np.fromiter(
@@ -1194,10 +1243,10 @@ class Scorer:
         if self.params.chimera:
             return self._score_chimera(spectra)
         masses, intens, Pk = self._pad_peaks(spectra)
-        # Upload the padded peak arrays once, packed as [2, S, Pk]; both
-        # stages reuse the single upload (uploads dominate on tunneled
-        # links).
-        peaks_dev = jnp.asarray(np.stack([masses, intens]))
+        # One peak upload per batch, packed as [2, S, Pk] and shipped
+        # ragged (uploads dominate on tunneled links); both stages
+        # reuse it.
+        peaks_dev = self._peaks_device(spectra, masses, intens, Pk)
         rows = self._expand_rows(spectra)
         fd = self._fused_dispatch(
             spectra, masses, intens, Pk, peaks_dev, rows=rows
@@ -1241,7 +1290,7 @@ class Scorer:
 
         def admit(batch):
             masses, intens, Pk = self._pad_peaks(batch)
-            peaks_dev = jnp.asarray(np.stack([masses, intens]))
+            peaks_dev = self._peaks_device(batch, masses, intens, Pk)
             e = {
                 "batch": batch, "masses": masses, "intens": intens, "Pk": Pk,
                 "peaks_dev": peaks_dev,

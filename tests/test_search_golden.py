@@ -629,3 +629,23 @@ def test_longest_run_vec_matches_scan_automaton():
     for _ in range(200):
         L = int(rng.integers(7, 64))
         check(rng.random(L) < rng.uniform(0.05, 0.95))
+
+
+def test_ragged_peak_upload_matches_padded(golden_setup):
+    """The ragged upload + on-device re-pad must reproduce the padded
+    [2, B, Pk] arrays bit-for-bit (pads included)."""
+    db, params, spectra = golden_setup
+    sc = Scorer(db, params)
+    # ragged lengths: several copies plus a truncated variant
+    import dataclasses
+
+    short = dataclasses.replace(
+        spectra[0],
+        masses=spectra[0].masses[:17],
+        intensities=spectra[0].intensities[:17],
+    )
+    batch = spectra * 2 + [short] + spectra
+    masses, intens, Pk = sc._pad_peaks(batch)
+    got = np.asarray(sc._peaks_device(batch, masses, intens, Pk))
+    np.testing.assert_array_equal(got[0], masses)
+    np.testing.assert_array_equal(got[1], intens)
