@@ -57,9 +57,11 @@ N_PROTEINS = int(os.environ.get("BENCH_PROTEINS", "20000"))
 # stream already overlaps what it can, while tunnel jitter accumulates
 # over the longer pass (median 14.5k vs 16.5k, best pass equal). Keep
 # passes short so the median samples more independent tunnel phases.
-N_SPECTRA = int(os.environ.get("BENCH_SPECTRA", "8192"))
+# BIGGER batches do help: 8192 amortizes the ~30 ms per-transfer RTT
+# over twice the spectra (measured 22.1k vs 20.7k sp/s back-to-back).
+N_SPECTRA = int(os.environ.get("BENCH_SPECTRA", "16384"))
 N_SPECTRA_OPEN = int(os.environ.get("BENCH_SPECTRA_OPEN", "2048"))
-BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
 BATCH_OPEN = int(os.environ.get("BENCH_BATCH_OPEN", "512"))
 PASSES = int(os.environ.get("BENCH_PASSES", "7"))
 BASELINE_CORES = int(os.environ.get("BASELINE_CORES", "32"))
@@ -148,6 +150,23 @@ def best_baseline(run, tries: int = 3):
         if best is None or r["spectra_per_s"] > best["spectra_per_s"]:
             best = r
     return best
+
+
+def committed_baseline(key):
+    """The committed record's baseline rate, as a FLOOR for the live
+    measurement: a host-load spike during the C baseline run deflates
+    the denominator and flatters every vs_baseline ratio, so the ratio
+    always uses the strongest baseline this host class has ever shown
+    (conservative in the baseline's favor)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+    )
+    try:
+        with open(path) as f:
+            v = json.load(f).get(key)
+        return float(v) if v else None
+    except (OSError, ValueError):
+        return None
 
 
 def profile_narrow(scorer, spectra, batch, reps=4):
@@ -473,6 +492,10 @@ def main():
         "baseline_cores": BASELINE_CORES,
     }
     if b1:
+        floor = committed_baseline("baseline_narrow_1core")
+        if floor and floor > b1:
+            result["baseline_narrow_1core_measured"] = round(b1, 1)
+            b1 = floor
         result["baseline_narrow_1core"] = round(b1, 1)
         result["vs_baseline"] = round(sps / (b1 * BASELINE_CORES), 4)
         result["vs_baseline_1core"] = round(sps / b1, 3)
@@ -525,6 +548,10 @@ def main():
         result["open_fetch_wait_s_per_pass"] = round(ro["fetch_wait_s"], 3)
         if base_open:
             ob1 = base_open["spectra_per_s"]
+            ofloor = committed_baseline("baseline_open_1core")
+            if ofloor and ofloor > ob1:
+                result["baseline_open_1core_measured"] = round(ob1, 1)
+                ob1 = ofloor
             result["baseline_open_1core"] = round(ob1, 1)
             result["open_vs_baseline"] = round(
                 osps / (ob1 * BASELINE_CORES), 4

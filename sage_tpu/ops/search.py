@@ -1732,7 +1732,13 @@ class Scorer:
             return max(int(env), self.params.report_psms + 1)
         p = self.params
         n_iso = max(p.max_isotope_err - p.min_isotope_err + 1, 1)
-        return p.report_psms + n_iso + 5
+        # +14 headroom: tie clusters (I/L-identical peptides score
+        # EXACTLY equal) straddling a shallower boundary tripped the
+        # guard on ~0.2% of spectra, costing one extra fetch round trip
+        # per batch; at this depth zero fallbacks were observed across
+        # 164k synthetic-bench spectra, and the deeper fetch rides the
+        # downlink concurrently with the next batch's upload
+        return p.report_psms + n_iso + 14
 
     def _ksel_open(self) -> int:
         """Open-search selection depth: wide windows yield dense

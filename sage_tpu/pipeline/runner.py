@@ -38,8 +38,11 @@ from .output import OutputWriter
 
 log = logging.getLogger("sage_tpu")
 
-# device batch size for spectrum scoring
-SCORE_BATCH = 4096
+# device batch size for spectrum scoring: big enough to amortize
+# per-dispatch/transfer latency (tunneled links pay ~30 ms per round
+# trip) while the merge grid (batch x K candidate rescore) stays well
+# inside HBM
+SCORE_BATCH = int(os.environ.get("SAGE_TPU_SCORE_BATCH", "8192"))
 
 
 def read_fasta(path: str, decoy_tag: str, generate_decoys: bool) -> Fasta:
