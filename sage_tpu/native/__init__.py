@@ -55,6 +55,13 @@ def _build() -> bool:
     return False
 
 
+def ensure_built() -> bool:
+    """Force the lazy build/load now (CI smoke entry point). Returns
+    True when the native helpers are available, False when the pure-
+    Python fallbacks will be used."""
+    return bool(_load())
+
+
 def _stale() -> bool:
     if not os.path.exists(_SO_PATH):
         return True
