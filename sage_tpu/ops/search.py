@@ -2168,6 +2168,8 @@ class Scorer:
             capture.update(
                 fn=fn, ints_dev=ints_dev, peaks_dev=peaks_dev,
                 seg_outs=seg_outs, perm_dev=perm_dev,
+                plan=plan, Pk=Pk, Zb=Zb, S_pad=S_pad, Ksel=Ksel,
+                n_series=self.n_series, L=self.tables.L, K=self.K,
             )
         if timings is not None:
             import jax as _jax
