@@ -210,7 +210,12 @@ def calibrate_s1_elems_per_s():
     from sage_tpu.ops.search import count_fragment_matches
     from sage_tpu.utils import devprof
 
-    S, W, L, Pk = 2, 8192, 48, 256  # 201M element-visits per step
+    # Pk deliberately NOT a lane multiple: a 128-multiple peak axis tips
+    # XLA into the lanes-on-Pk layout that runs ~3x slower (the product
+    # avoids it the same way, Scorer._pad_peaks), and a calibration taken
+    # in the slow layout makes mfu read >1. W is large so one step is
+    # ~1 ms and the chained slope rides above tunnel jitter.
+    S, W, L, Pk = 2, 32768, 48, 160  # 503M element-visits per step
     tol = Tolerance("ppm", -10.0, 10.0)
 
     @jax.jit
@@ -519,6 +524,7 @@ def bench_pipeline(tmpdir):
     times = []
     build_times = []
     run_times = []
+    phases = None
     for _ in range(2):  # first run compiles; second is the warm number
         outdir = os.path.join(tmpdir, "out")
         shutil.rmtree(outdir, ignore_errors=True)
@@ -526,12 +532,14 @@ def bench_pipeline(tmpdir):
         t0 = time.perf_counter()
         runner = Runner(search)  # FASTA parse + database build
         t1 = time.perf_counter()
-        runner.run()
+        res = runner.run()
         t2 = time.perf_counter()
         times.append(t2 - t0)
         build_times.append(t1 - t0)
         run_times.append(t2 - t1)
+        phases = res.get("phases")
     return {
+        "pipeline_phases_s": phases,
         # total includes the one-off database build; the _run rate is
         # what additional files of a multi-file run see (one build is
         # amortized over every file, matching the reference's own

@@ -1218,6 +1218,15 @@ class Scorer:
         )
         Pk = int(max(lens.max() if S else 1, 1))
         Pk = int(np.ceil(Pk / 32) * 32)
+        # Avoid 128-multiples: when the compare grids' peak axis is an
+        # exact lane multiple, XLA lays the grid out with Pk on lanes and
+        # reduces ACROSS lanes — measured 3x slower on v5e than the
+        # Pk-on-sublanes layout it picks for any other width. Burning up
+        # to 32 pad columns (all +inf masses, matching nothing) buys a
+        # ~3x faster stage-1/rescore; values are bit-identical because
+        # +inf peaks fall in no tolerance window.
+        if Pk % 128 == 0:
+            Pk += 32
         masses = np.full((S, Pk), np.inf, dtype=np.float32)
         intens = np.full((S, Pk), -1.0, dtype=np.float32)
         if S:

@@ -68,6 +68,16 @@ class Runner:
         _enable_compile_cache()
         self.parameters = parameters
         self.start = time.monotonic()
+        # Per-phase wall-second accumulators (the analog of the
+        # reference's per-phase ms logs, runner.rs:476-477, 673-674);
+        # returned from run() and logged at the end so the gap between
+        # kernel throughput and pipeline throughput is always attributed.
+        self.phases: dict = {
+            "db_build_s": 0.0, "read_s": 0.0, "process_s": 0.0,
+            "search_s": 0.0, "rt_ml_s": 0.0, "fdr_s": 0.0,
+            "quant_s": 0.0, "write_s": 0.0,
+        }
+        self._phase_lock = __import__("threading").Lock()
         db_params = parameters.database
         fasta = read_fasta(db_params.fasta, db_params.decoy_tag, db_params.generate_decoys)
         t0 = time.monotonic()
@@ -78,12 +88,17 @@ class Runner:
         else:
             self.database = db_params.build(fasta)
             self._fasta = None
+        self.phases["db_build_s"] = time.monotonic() - t0
         log.info(
             "generated %d fragments, %d peptides in %dms",
             self.database.num_fragments if self.database else 0,
             len(self.database) if self.database else 0,
             int((time.monotonic() - t0) * 1000),
         )
+
+    def _phase_add(self, key: str, seconds: float) -> None:
+        with self._phase_lock:
+            self.phases[key] = self.phases.get(key, 0.0) + seconds
 
     # ------------------------------------------------------------------
 
@@ -127,6 +142,7 @@ class Runner:
         p = self.parameters
         sn_level = p.quant.tmt_settings.level if p.quant.tmt_settings.sn else None
         sp = self._spectrum_processor()
+        t0 = time.monotonic()
         raw = read_spectra(
             path,
             file_id=file_id,
@@ -134,7 +150,12 @@ class Runner:
             requires_ms1=bool(p.quant.lfq),
             bruker_config=p.bruker_config,
         )
-        return [sp.process(s) for s in raw]
+        t1 = time.monotonic()
+        out = [sp.process(s) for s in raw]
+        t2 = time.monotonic()
+        self._phase_add("read_s", t1 - t0)
+        self._phase_add("process_s", t2 - t1)
+        return out
 
     def process_file(
         self, scorer: Scorer, path: str, file_id: int, spectra=None
@@ -155,6 +176,7 @@ class Runner:
         tables = list(scorer.score_stream(batches))
         features = FeatureTable.concat(tables) if tables else FeatureTable.empty()
         dt = time.monotonic() - t0
+        self._phase_add("search_s", dt)
         log.info(
             "- search:  %8d ms (%d spectra/s)",
             int(dt * 1000),
@@ -381,6 +403,7 @@ class Runner:
         )
 
         alignments = None
+        t_rt = time.monotonic()
         if p.predict_rt:
             # Poisson is usually the best single feature; use it to get a
             # confident PSM set for RT model training (runner.rs:513-531)
@@ -393,6 +416,8 @@ class Runner:
             )
             retention_model.predict(self.database, features)
             mobility_model.predict(self.database, features)
+        t_fdr = time.monotonic()
+        self._phase_add("rt_ml_s", t_fdr - t_rt)
 
         q_spectrum = self.spectrum_fdr(features)
         q_peptide = fdr_mod.picked_peptide(self.database, features)
@@ -404,6 +429,7 @@ class Runner:
             p.protein_grouping_peptide_fdr,
         )
         q_protein_group = fdr_mod.picked_protein_group(self.database, features)
+        self._phase_add("fdr_s", time.monotonic() - t_fdr)
 
         filenames = [path.split("/")[-1] for path in p.mzml_paths]
 
@@ -412,11 +438,13 @@ class Runner:
             from ..quant import lfq as lfq_mod
 
             log.info("performing LFQ")
+            t_q = time.monotonic()
             feature_map = lfq_mod.build_feature_map(
                 p.quant.lfq_settings, p.precursor_charge, self.database, features
             )
             areas = feature_map.quantify(self.database, all_ms1, alignments)
             q_precursor = lfq_mod.assign_precursor_q(areas)
+            self._phase_add("quant_s", time.monotonic() - t_q)
             log.info("discovered %d target MS1 peaks at 5%% FDR", q_precursor)
 
         log.info(
@@ -432,6 +460,7 @@ class Runner:
             "peptides only) at 1%% FDR", q_protein_group,
         )
 
+        t_w = time.monotonic()
         if self.process_id == 0:
             writer = OutputWriter(self.database, p.output_directory)
             if p.parquet:
@@ -495,7 +524,13 @@ class Runner:
                 p.output_paths.append(rp)
             p.output_paths.append(writer.write_results_json(p.to_json_dict()))
 
+        self._phase_add("write_s", time.monotonic() - t_w)
         run_time = int(time.monotonic() - self.start)
+        phases = {k: round(v, 3) for k, v in self.phases.items()}
+        log.info(
+            "phase seconds: %s",
+            " ".join(f"{k[:-2]}={v}" for k, v in phases.items()),
+        )
         log.info("finished in %ds", run_time)
         return {
             "features": features,
@@ -505,6 +540,7 @@ class Runner:
             "q_protein_group": q_protein_group,
             "lfq": areas,
             "run_time": run_time,
+            "phases": phases,
         }
 
     def spectrum_fdr(self, features: FeatureTable) -> int:
