@@ -349,20 +349,18 @@ def rescore_candidate(f, fvalid, pkm, pki, maxz, *, series, frag_tol, Z):
 
     # Strictly-sequential f32 sums in fragments-iterator order
     # (series, ion, charge). Adding 0.0f is exact, so unmatched
-    # slots can stay in the scan. ``unroll`` keeps the op order
-    # unchanged while cutting the while-loop iteration count ~16x
-    # (loop-step overhead, not arithmetic, dominates this scan when
-    # vmapped over tens of thousands of candidates).
+    # slots can stay in the chain. The chain is FULLY unrolled into
+    # T dependent adds: identical op order to the reference's
+    # iterator (and to the previous lax.scan form), but fused by XLA
+    # into one loop-free kernel — the scan's per-step overhead was
+    # ~8 ms per 459k vmapped candidates, the unrolled chain ~1 ms.
     b_int = jnp.where(bm3, pk_i, 0.0).reshape(-1)
     y_int = jnp.where(~bm3, pk_i, 0.0).reshape(-1)
     terms = jnp.stack([b_int, y_int, ppm_t.reshape(-1)], axis=-1)  # [T, 3]
 
-    def add(carry, x):
-        return carry + x, None
-
-    sums, _ = jax.lax.scan(
-        add, jnp.zeros(3, jnp.float32), terms, unroll=16
-    )
+    sums = jnp.zeros(3, jnp.float32)
+    for i in range(terms.shape[0]):
+        sums = sums + terms[i]
 
     # Longest-run automata (scoring.rs:771-793) — all N-term series
     # feed one run in series order, all C-term series the other,
@@ -1567,12 +1565,18 @@ class Scorer:
                 )
             hs32 = jnp.where(jnp.isfinite(hs32), hs32, np.float32(255.0))
             # selection sort key is (ok desc, hs32 desc, rank asc) — the
-            # rank tiebreak reproduces the host lexsort's stability
+            # rank tiebreak reproduces the host lexsort's stability.
+            # Every selected column rides the sort as a PAYLOAD operand:
+            # a 12-operand variadic sort costs ~1 ms where the previous
+            # (key, col) sort + 10 take_along_axis gathers cost ~16 ms
+            # (TPU per-element gathers run ~90 M elem/s).
             ok = mask & ((mb + my) >= min_matched)
             col = jnp.arange(K0, dtype=jnp.int32)[None, :]
             key = jnp.where(ok, hs32, np.float32(-np.inf))
-            skey, scol = jax.lax.sort(
-                (-key, jnp.broadcast_to(col, (S_pad, K0))),
+            (skey, scol, s_mb, s_my, s_lb, s_ly, s_z, s_iso, s_pep,
+             s_sb, s_sy, s_pp) = jax.lax.sort(
+                (-key, jnp.broadcast_to(col, (S_pad, K0)),
+                 mb, my, lb, ly, z_s, iso_s, pep_s, sb, sy, pp),
                 dimension=1, num_keys=2,
             )
             sel_col = scol[:, :Ksel]                      # [S_pad, Ksel]
@@ -1582,9 +1586,6 @@ class Scorer:
                 -skey[:, Ksel] if Ksel < K0
                 else jnp.full((S_pad,), -np.inf, jnp.float32)
             )
-
-            def sel(x):
-                return jnp.take_along_axis(x, sel_col, axis=1)
             c_z = z_s
             c_iso = iso_s
             c_pep = pep_s
@@ -1596,16 +1597,17 @@ class Scorer:
             # lb/ly < 2^6, rank < 2^6, z < 2^5, |iso| <= 15):
             #   col0 mb*4096+my   col1 lb<<13 | ly<<7 | rank
             #   col2 z<<5 | iso+16  col3 pep  col4 sb  col5 sy  col6 ppm
-            cA = (sel(mb) * 4096 + sel(my)).astype(jnp.float32)
+            cA = (s_mb[:, :Ksel] * 4096 + s_my[:, :Ksel]).astype(jnp.float32)
             cB = (
-                sel(lb) * (1 << 13) + sel(ly) * (1 << 7) + sel_col
+                s_lb[:, :Ksel] * (1 << 13) + s_ly[:, :Ksel] * (1 << 7)
+                + sel_col
             ).astype(jnp.float32)
-            cC = (sel(c_z) * (1 << 5) + (sel(c_iso) + 16)).astype(
+            cC = (s_z[:, :Ksel] * (1 << 5) + (s_iso[:, :Ksel] + 16)).astype(
                 jnp.float32
             )
             rows7 = jnp.stack(
-                [cA, cB, cC, sel(c_pep).astype(jnp.float32),
-                 sel(sb), sel(sy), sel(pp)],
+                [cA, cB, cC, s_pep[:, :Ksel].astype(jnp.float32),
+                 s_sb[:, :Ksel], s_sy[:, :Ksel], s_pp[:, :Ksel]],
                 axis=-1,
             ).reshape(S_pad * Ksel, 7)
             # per-spectrum stats: b32, n_ok, matched_total, scored,
