@@ -147,3 +147,85 @@ def test_tic_is_sequential_f32_sum():
     for i in s.intensity:
         expected = np.float32(expected + np.float32(i))
     assert np.float32(s.total_ion_current) == expected
+
+
+# ---- fast-path vs exact-parser parity ------------------------------------
+
+def _spectra_equal(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.id == y.id
+        assert x.ms_level == y.ms_level and x.centroid == y.centroid
+        assert abs(x.scan_start_time - y.scan_start_time) < 1e-12
+        assert np.float32(x.total_ion_current) == np.float32(y.total_ion_current)
+        assert len(x.precursors) == len(y.precursors)
+        for p, q in zip(x.precursors, y.precursors):
+            assert p.mz == q.mz and p.intensity == q.intensity
+            assert p.charge == q.charge
+            assert (p.isolation_window is None) == (q.isolation_window is None)
+            if p.isolation_window is not None:
+                assert (p.isolation_window.kind, p.isolation_window.lo,
+                        p.isolation_window.hi) == (
+                    q.isolation_window.kind, q.isolation_window.lo,
+                    q.isolation_window.hi)
+        np.testing.assert_array_equal(np.asarray(x.mz), np.asarray(y.mz))
+        np.testing.assert_array_equal(np.asarray(x.intensity), np.asarray(y.intensity))
+
+
+_PARITY_CASES = [
+    SPECTRUM_0,
+    "# a comment" + SPECTRUM_0 + "\n\n" + SPECTRUM_0,
+    # ragged columns (3 cols then 2): fast path must fall back, results equal
+    "BEGIN IONS\nTITLE=t\nPEPMASS=500.0\n100.0 1 9\n200.0 2\nEND IONS\n",
+    # third column ignored uniformly
+    "BEGIN IONS\nTITLE=t\nPEPMASS=500.0\n100.0 1 9\n200.0 2 8\nEND IONS\n",
+    # mz-only peaks (intensity defaults to 1.0)
+    "BEGIN IONS\nTITLE=t\nPEPMASS=500.0\n100.0\n200.0\nEND IONS\n",
+    # header line after peaks began (exact parser re-dispatches it)
+    "BEGIN IONS\nTITLE=t\nPEPMASS=500.0\n100.0 1\nCHARGE=2+\n200.0 2\nEND IONS\n",
+    # blank line inside peak list
+    "BEGIN IONS\nTITLE=t\nPEPMASS=500.0\n100.0 1\n\n200.0 2\nEND IONS\n",
+    # no TITLE / no peaks / missing PEPMASS blocks skipped
+    "BEGIN IONS\nPEPMASS=1.0\n1 1\nEND IONS\nBEGIN IONS\nTITLE=a\nPEPMASS=2.0\n2 2\nEND IONS\n",
+    "BEGIN IONS\nTITLE=nopeaks\nPEPMASS=1.0\nEND IONS\n",
+    # leading whitespace on a peak line
+    "BEGIN IONS\nTITLE=t\nPEPMASS=500.0\n  100.0 1\n200.0 2\nEND IONS\n",
+    # CRLF endings
+    "BEGIN IONS\r\nTITLE=t\r\nPEPMASS=500.0\r\n100.0 1\r\n200.0 2\r\nEND IONS\r\n",
+    # trailing garbage after last END IONS, and content with no END IONS
+    SPECTRUM_0 + "BEGIN IONS\nTITLE=x\nPEPMASS=1.0\n1 1\n",
+    # unparseable peak token
+    "BEGIN IONS\nTITLE=t\nPEPMASS=500.0\n100.0 one\n200.0 2\nEND IONS\n",
+    # global TOL/TOLU/CHARGE before first block
+    "TOL=25\nTOLU=ppm\nCHARGE=2+ and 3+\n" + SPECTRUM_0.replace("CHARGE=2+ and 3+\n", "").replace("TOL=10\n", "").replace("TOLU=ppm\n", ""),
+]
+
+
+def test_fast_parser_parity():
+    from sage_tpu.io.mgf import _parse_mgf_exact, parse_mgf
+
+    for case in _PARITY_CASES:
+        _spectra_equal(parse_mgf(case, 3), _parse_mgf_exact(case, 3))
+
+
+def test_fast_parser_parity_random():
+    # randomized well-formed files: the fast path must take effect and agree
+    from sage_tpu.io.mgf import _parse_mgf_exact, _parse_mgf_fast
+
+    rng = np.random.default_rng(7)
+    blocks = []
+    for i in range(50):
+        n = int(rng.integers(1, 40))
+        mz = rng.uniform(100, 2000, n)
+        it = rng.uniform(0, 1e6, n)
+        lines = [f"{m:.6f} {v:.4f}" for m, v in zip(mz, it)]
+        hdr = [f"TITLE=scan {i}", f"PEPMASS={rng.uniform(300, 1500):.5f}"]
+        if rng.random() < 0.5:
+            hdr.append("CHARGE=%d+" % int(rng.integers(1, 5)))
+        if rng.random() < 0.3:
+            hdr.append(f"RTINSECONDS={rng.uniform(0, 6000):.3f}")
+        blocks.append("BEGIN IONS\n" + "\n".join(hdr + lines) + "\nEND IONS")
+    content = "\n\n".join(blocks) + "\n"
+    fast = _parse_mgf_fast(content, 0)
+    assert fast is not None and len(fast) == 50
+    _spectra_equal(fast, _parse_mgf_exact(content, 0))
