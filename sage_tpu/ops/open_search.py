@@ -89,6 +89,23 @@ def spectrum_window_union(rows, B):
     return np.where(u1 > 0, u0, 0), u1
 
 
+def covered_bands(u0, u1, band_w: int, nb: int, B: int):
+    """Host: per-spectrum covered band range (b0, b1) and the static
+    slot count nbcov — ONE definition shared by ranges(),
+    ranges_device() and the dispatch-time element-budget check."""
+    if u0 is None or nb == 1:
+        b0 = np.zeros(B, np.int64)
+        b1 = np.full(B, nb - 1, np.int64)
+    else:
+        b0 = np.clip(u0 // band_w, 0, nb - 1).astype(np.int64)
+        b1 = np.clip(
+            np.maximum(u1 - 1, 0) // band_w, 0, nb - 1
+        ).astype(np.int64)
+        b1 = np.maximum(b1, b0)
+    nbcov = int((b1 - b0 + 1).max()) if B else 1
+    return b0, b1, nbcov
+
+
 @functools.partial(
     jax.jit, static_argnames=("Zb", "nbcov", "tol")
 )
@@ -185,15 +202,24 @@ def _device_ranges(
     )
 
 
-@jax.jit
-def _range_stats(starts, lens):
-    """Device [2] i32: (max per-spectrum total entries, max per-spectrum
-    gather rows) — the sticky-shape overflow check for device-planned
-    open batches (threaded to the host through the merge tail row)."""
+@functools.partial(jax.jit, static_argnames=("nbcov", "Zb", "Pk"))
+def _range_stats(starts, lens, *, nbcov=1, Zb=1, Pk=1):
+    """Device [2] i32: (max per-(spectrum, band) total entries, max
+    per-(spectrum, band) gather rows) — the sticky-shape overflow check
+    for device-planned open batches (threaded to the host through the
+    merge tail row). With nbcov == 1 the unit is the whole spectrum."""
+    B = starts.shape[0]
     ends = starts + lens
     rows = jnp.where(
         lens > 0, (ends + (V_ROW - 1)) // V_ROW - starts // V_ROW, 0
     )
+    if nbcov > 1:
+        l4 = lens.reshape(B, Zb, nbcov, Pk)
+        r4 = rows.reshape(B, Zb, nbcov, Pk)
+        return jnp.stack([
+            jnp.max(jnp.sum(l4, axis=(1, 3))),
+            jnp.max(jnp.sum(r4, axis=(1, 3))),
+        ]).astype(jnp.int32)
     return jnp.stack([
         jnp.max(jnp.sum(lens, axis=1)),
         jnp.max(jnp.sum(rows, axis=1)),
@@ -300,21 +326,41 @@ def _entries_flat(frag_pep8, starts, lens, F, Pk, Z):
 
 def _open_count_core(
     frag_pep8,     # i32 [N_frag_pad / V_ROW, V_ROW] (HBM)
-    starts,        # i32 [B, Z*Pk] window range starts
-    lens,          # i32 [B, Z*Pk] window range lengths
+    starts,        # i32 [B, Z*nbcov*Pk] window range starts (z, band, pk)
+    lens,          # i32 [B, Z*nbcov*Pk] window range lengths
     row_spec,      # i32 [R] spectrum index per query row
     row_i0,        # i32 [R] precursor candidate range
     row_i1,        # i32 [R]
     row_maxz,      # i32 [R] exclusive fragment-charge bound
-    *, F, Wc, Pk, Z, K, R, chunked, psort=False,
+    *, F, Wc, Pk, Z, K, R, chunked, nbcov=1, psort=False,
 ):
     """Traceable core of the peak-major preliminary count. Returns
-    (vals [R, K], cand [R, K], matched_total [R], scored [R])."""
+    (vals [R, K], cand [R, K], matched_total [R], scored [R]).
+
+    With nbcov > 1 the combine is BAND-MAJOR: each (spectrum, covered
+    band) pair becomes its own pseudo-row, so the per-entry sort runs on
+    the short per-band axis F (one-shot in VMEM at proteome scale)
+    instead of one long per-spectrum axis. This is exact, not an
+    approximation, because bands PARTITION peptide ids: every entry of a
+    peptide lives in exactly one band, so per-band run-length counts ARE
+    the global counts, per-band top-K contains every global top-K
+    candidate, and matched/scored totals sum across bands. The global
+    top-K is recovered with a (count desc, peptide desc) two-key sort
+    over the nbcov*K per-band winners — the exact PreScore tie rule
+    (/root/reference/crates/sage/src/scoring.rs:43-49)."""
     B = starts.shape[0]
-    if chunked:
-        neg, z_of = _entries_rows(frag_pep8, starts, lens, Wc, Pk, Z)
+    if nbcov > 1:
+        BN = B * nbcov
+        st = starts.reshape(B, Z, nbcov, Pk).transpose(0, 2, 1, 3)
+        st = st.reshape(BN, Z * Pk)
+        ln = lens.reshape(B, Z, nbcov, Pk).transpose(0, 2, 1, 3)
+        ln = ln.reshape(BN, Z * Pk)
     else:
-        neg, z_of = _entries_flat(frag_pep8, starts, lens, F, Pk, Z)
+        BN, st, ln = B, starts, lens
+    if chunked:
+        neg, z_of = _entries_rows(frag_pep8, st, ln, Wc, Pk, Z)
+    else:
+        neg, z_of = _entries_flat(frag_pep8, st, ln, F, Pk, Z)
     # ---- sort per spectrum by peptide DESCENDING; padding/slop sorts to
     # the tail, so the axis can be cut back to F (> any true entry count)
     if psort:
@@ -374,13 +420,13 @@ def _open_count_core(
 
     run_start = jnp.concatenate(
         [
-            jnp.ones((B, 1), dtype=bool),
+            jnp.ones((BN, 1), dtype=bool),
             pep_sorted[:, 1:] != pep_sorted[:, :-1],
         ],
         axis=1,
     )
     run_end = jnp.concatenate(
-        [pep_sorted[:, 1:] != pep_sorted[:, :-1], jnp.ones((B, 1), bool)],
+        [pep_sorted[:, 1:] != pep_sorted[:, :-1], jnp.ones((BN, 1), bool)],
         axis=1,
     )
 
@@ -428,21 +474,51 @@ def _open_count_core(
         cand = jnp.where(vals > 0, p[idx], np.int32(0))
         return vals, cand, matched_total, scored
 
-    return jax.vmap(per_row)(row_spec, row_i0, row_i1, row_maxz)
+    if nbcov == 1:
+        return jax.vmap(per_row)(row_spec, row_i0, row_i1, row_maxz)
+
+    # band-major: count per (query row, covered band slot), then merge
+    # the per-band winners. Padding rows (row_spec = sentinel >= B)
+    # index past BN; the gather clamps to the last pseudo-row and the
+    # zero [i0, i1) range masks every count to 0, exactly like the
+    # nbcov == 1 sentinel behavior.
+    slots = jnp.arange(nbcov, dtype=row_spec.dtype)
+    rb_spec = (row_spec[:, None] * nbcov + slots[None, :]).reshape(-1)
+    vals, cand, mtot, scored = jax.vmap(per_row)(
+        rb_spec,
+        jnp.repeat(row_i0, nbcov),
+        jnp.repeat(row_i1, nbcov),
+        jnp.repeat(row_maxz, nbcov),
+    )
+    vals = vals.reshape(R, nbcov * K)
+    cand = cand.reshape(R, nbcov * K)
+    # exact global top-K: (count desc, peptide desc) over the union of
+    # per-band top-Ks — every global winner survives its band's top-K
+    # (fewer than K candidates beat it anywhere, so fewer in-band)
+    sv, sp = jax.lax.sort((-vals, -cand), dimension=1, num_keys=2)
+    vals_m = -sv[:, :K]
+    cand_m = jnp.where(vals_m > 0, -sp[:, :K], np.int32(0))
+    return (
+        vals_m, cand_m,
+        mtot.reshape(R, nbcov).sum(axis=1),
+        scored.reshape(R, nbcov).sum(axis=1),
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("F", "Wc", "Pk", "Z", "K", "R", "chunked", "psort"),
+    static_argnames=(
+        "F", "Wc", "Pk", "Z", "K", "R", "chunked", "nbcov", "psort"
+    ),
 )
 def _device_open_count(
     frag_pep8, starts, lens, row_spec, row_i0, row_i1, row_maxz,
-    *, F, Wc, Pk, Z, K, R, chunked, psort=False,
+    *, F, Wc, Pk, Z, K, R, chunked, nbcov=1, psort=False,
 ):
     vals, cand, mtot, scored = _open_count_core(
         frag_pep8, starts, lens, row_spec, row_i0, row_i1, row_maxz,
         F=F, Wc=Wc, Pk=Pk, Z=Z, K=K, R=R, chunked=chunked,
-        psort=psort,
+        nbcov=nbcov, psort=psort,
     )
     return jnp.concatenate(
         [vals, cand, mtot[:, None], scored[:, None]], axis=1
@@ -611,16 +687,7 @@ class OpenSearcher:
         exactly like ranges(), plus nbcov."""
         B = int(peaks_dev.shape[1])
         nb = self.n_bands
-        if u0 is None or nb == 1:
-            b0 = np.zeros(B, np.int64)
-            b1 = np.full(B, nb - 1, np.int64)
-        else:
-            b0 = np.clip(u0 // self.band_w, 0, nb - 1).astype(np.int64)
-            b1 = np.clip(
-                np.maximum(u1 - 1, 0) // self.band_w, 0, nb - 1
-            ).astype(np.int64)
-            b1 = np.maximum(b1, b0)
-        nbcov = int((b1 - b0 + 1).max()) if B else 1
+        b0, b1, nbcov = covered_bands(u0, u1, self.band_w, nb, B)
         bands = b0[:, None] + np.arange(nbcov)[None, :]
         valid = bands <= b1[:, None]
         bands_c = np.clip(bands, 0, nb - 1).astype(np.int32)
@@ -645,16 +712,7 @@ class OpenSearcher:
         peaks give NaN/inf bounds -> empty ranges."""
         B, Pk = masses.shape
         nb = self.n_bands
-        if u0 is None or nb == 1:
-            b0 = np.zeros(B, np.int64)
-            b1 = np.full(B, nb - 1, np.int64)
-        else:
-            b0 = np.clip(u0 // self.band_w, 0, nb - 1).astype(np.int64)
-            b1 = np.clip(
-                np.maximum(u1 - 1, 0) // self.band_w, 0, nb - 1
-            ).astype(np.int64)
-            b1 = np.maximum(b1, b0)
-        nbcov = int((b1 - b0 + 1).max()) if B else 1
+        b0, b1, nbcov = covered_bands(u0, u1, self.band_w, nb, B)
         starts = np.zeros((B, Zb * Pk * nbcov), np.int32)
         lens = np.zeros((B, Zb * Pk * nbcov), np.int32)
         off = self.band_off
@@ -706,17 +764,17 @@ class OpenSearcher:
         """Shared host planning for the open-search device programs:
         band-aware window ranges, gather layout, and the static padded
         shapes (see preliminary_packed's docstrings for the policies).
-        Returns (starts, lens, Pk_eff, chunked, size, Wc, F)."""
-        B = masses.shape[0]
+        All shape units are PER (spectrum, covered band) — the count
+        core combines band-major. Returns
+        (starts, lens, Pk, chunked, size, Wc, F, nbcov)."""
+        B, Pk = masses.shape
         if _ranges is None:
             # per-spectrum union of precursor windows -> covered bands
             u0, u1 = spectrum_window_union(rows, B)
             starts, lens = self.ranges(masses, Zb, u0, u1)
         else:
             starts, lens = _ranges
-        # effective per-z window count (Pk * covered-band slots) for the
-        # charge tags inside the device program
-        Pk_eff = starts.shape[1] // max(Zb, 1)
+        nbcov = starts.shape[1] // max(Zb * Pk, 1)
         # entry layout: aligned wide-row gather when windows are long
         # (the per-window <=2-row alignment padding is cheaper than
         # per-element gather descriptors), ragged flat gather otherwise
@@ -727,29 +785,32 @@ class OpenSearcher:
         else:
             chunked = float(lens.sum()) / n_win >= 48.0
         ends = starts + lens
-        tc = np.where(
+        rows_w = np.where(
             lens > 0, (ends + (V_ROW - 1)) // V_ROW - starts // V_ROW, 0
-        ).sum(axis=1)  # gather rows per spectrum
-        totals = lens.sum(axis=1)
-        size = tc * V_ROW if chunked else totals
-        # Wr row slots cover the densest spectrum; quarter-octave
-        # padding (like F below) bounds recompiles while keeping the
-        # sort axis (proportional to Wr) within 12% of minimal
-        Wc = _quarter_octave(max(int(tc.max()), 8)) if chunked else 8
-        # F strictly greater than any spectrum's true entry count (the
-        # row-layout sort axis Wr*V is cut down to F before counting;
-        # the flat layout uses F as the entry axis directly); at least K
-        # so the per-row top_k never exceeds the axis. Quarter-octave
-        # padding: F is a static shape, and exact padding would compile a
-        # fresh executable per batch (seconds each on tunneled links)
-        # for <= 12% extra count-phase work saved.
-        F = _quarter_octave(int(max(totals.max(), 1)) + 1)
+        )
+        # per-(spectrum, band) totals: window axis layout (z, band, pk)
+        tc_sb = rows_w.reshape(B, Zb, nbcov, Pk).sum(axis=(1, 3))
+        tot_sb = lens.reshape(B, Zb, nbcov, Pk).sum(axis=(1, 3))
+        # per-spectrum densest band (drives F; the split peels on it)
+        size = (tc_sb * V_ROW if chunked else tot_sb).max(axis=1)
+        # Wr row slots cover the densest (spectrum, band); quarter-
+        # octave padding (like F below) bounds recompiles while keeping
+        # the sort axis (proportional to Wr) within 12% of minimal
+        Wc = _quarter_octave(max(int(tc_sb.max()), 8)) if chunked else 8
+        # F strictly greater than any (spectrum, band)'s true entry
+        # count (the row-layout sort axis Wr*V is cut down to F before
+        # counting; the flat layout uses F as the entry axis directly);
+        # at least K so the per-row top_k never exceeds the axis.
+        # Quarter-octave padding: F is a static shape, and exact padding
+        # would compile a fresh executable per batch (seconds each on
+        # tunneled links) for <= 12% extra count-phase work saved.
+        F = _quarter_octave(int(max(tot_sb.max(), 1)) + 1)
         F = ((max(F, self.K, 128) + 127) // 128) * 128
         if chunked:
             F = min(F, Wc * V_ROW)
-        return starts, lens, Pk_eff, chunked, size, Wc, F
+        return starts, lens, Pk, chunked, size, Wc, F, nbcov
 
-    def _find_split(self, B, size):
+    def _find_split(self, B, size, nbcov=1):
         """Sub-batch split mask, or None: halve over the element budget;
         otherwise peel the light size class off a heavily skewed batch
         (the sort axis pads every spectrum to the densest one — a p75
@@ -758,7 +819,7 @@ class OpenSearcher:
         if B <= 1:
             return None
         F_est = int(size.max()) + 1
-        if B * F_est > self.MAX_ELEMENTS:
+        if B * nbcov * F_est > self.MAX_ELEMENTS:
             return np.arange(B) < B // 2
         if B >= 128 and os.environ.get("SAGE_TPU_OPEN_SPLIT") != "0":
             p75 = _quarter_octave(max(int(np.percentile(size, 75)), 1))
@@ -808,10 +869,10 @@ class OpenSearcher:
         the element budget (ranges are computed once and sliced through
         the recursion)."""
         B = masses.shape[0]
-        starts, lens, Pk_eff, chunked, size, Wc, F = self._geometry(
+        starts, lens, Pk_eff, chunked, size, Wc, F, nbcov = self._geometry(
             masses, rows, Zb, _ranges
         )
-        split = self._find_split(B, size)
+        split = self._find_split(B, size, nbcov)
         if split is not None:
             out = np.zeros((R, 2 * self.K + 2), np.int32)
             for spec_ids, rsel, sub_rows, mz_sub, R_sub, n_sub in (
@@ -843,7 +904,8 @@ class OpenSearcher:
             jnp.asarray(row_i1),
             jnp.asarray(maxz),
             F=F, Wc=Wc, Pk=Pk_eff, Z=Zb, K=self.K, R=R,
-            chunked=chunked, psort=use_pallas_sort(F, self.n_pep),
+            chunked=chunked, nbcov=nbcov,
+            psort=use_pallas_sort(F, self.n_pep),
         )
         out.copy_to_host_async()
         return out  # device handle; caller device_gets at finalize time

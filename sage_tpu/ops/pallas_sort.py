@@ -34,12 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 # rows per grid step: one sublane tile
 _RB = 8
-# VMEM budget cap: Mosaic's scoped stack holds the [8, F] block plus
-# several live temporaries across the unrolled network; 16k keeps the
-# measured footprint (~8 MB) under the 16 MB scoped-VMEM limit.
-# Larger rows fall back to lax.sort (or, at open-search scale, are
-# usually peeled below this by the p75 size-class split).
-MAX_F = 1 << 14
+# VMEM budget cap FOR ONE IN-VMEM BLOCK: Mosaic's scoped stack holds the
+# [8, F] block plus several live temporaries across the unrolled
+# network; 16k keeps the measured footprint (~8 MB) under the 16 MB
+# scoped-VMEM limit.
+_BLOCK_MAX = 1 << 14
+# default block size for the hierarchical path (F > _BLOCK_MAX): rows
+# are split into CB-sized blocks, each sorted fully in VMEM, then merged
+# with flip/cross compare-exchange passes (pure elementwise, one HBM
+# stream each) plus one in-VMEM finish kernel per merge level.
+_CB = int(os.environ.get("SAGE_TPU_PSORT_BLOCK", str(1 << 13)))
+# overall cap: rows longer than this fall back to lax.sort (HBM
+# footprint of the padded row matrix, not VMEM, is the limit here)
+MAX_F = 1 << 17
 
 
 def _sort_kernel(x_ref, o_ref, *, F):
@@ -63,11 +70,29 @@ def _sort_kernel(x_ref, o_ref, *, F):
     o_ref[:] = v
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sort_call(x, interpret=False):
+def _finish_kernel(x_ref, o_ref, *, F):
+    """Ascending bitonic MERGE of each row (rows must be bitonic): the
+    within-block tail of a hierarchical merge level — substages with
+    stride F/2 .. 1, direction uniform (min keeps the lower index)."""
+    v = x_ref[:]  # [RB, F] i32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_RB, F), 1)
+    for j in range(F.bit_length() - 2, -1, -1):
+        d = 1 << j
+        up = (lane & d) == 0
+        pl_v = pltpu.roll(v, F - d, 1)  # x[i+d]
+        pr_v = pltpu.roll(v, d, 1)      # x[i-d]
+        partner = jnp.where(up, pl_v, pr_v)
+        v = jnp.where(
+            up, jnp.minimum(v, partner), jnp.maximum(v, partner)
+        )
+    o_ref[:] = v
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "interpret"))
+def _rows_call(x, kernel, interpret=False):
     B, F = x.shape
     return pl.pallas_call(
-        functools.partial(_sort_kernel, F=F),
+        functools.partial(kernel, F=F),
         out_shape=jax.ShapeDtypeStruct((B, F), jnp.int32),
         grid=(B // _RB,),
         in_specs=[
@@ -80,11 +105,57 @@ def _sort_call(x, interpret=False):
     )(x)
 
 
-def bitonic_sort_rows(x, pad_value=np.int32(2**31 - 1), interpret=None):
+def _sort_call(x, interpret=False):
+    return _rows_call(x, _sort_kernel, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cb", "interpret"))
+def _hier_sort(x, cb, interpret=False):
+    """Row sort for F > the VMEM block size: sort CB blocks in VMEM,
+    then per merge level run one flip pass (compare A[i] with the
+    mirrored partner of the sibling run — the first substage of a
+    bitonic merge of two ascending runs), cross-block substages at
+    strides >= CB (plain paired min/max, one fused HBM stream each),
+    and one in-VMEM finish kernel for the strides < CB. Bit-identical
+    to lax.sort on i32 keys (single operand, exact duplicates)."""
+    B, Fp = x.shape
+    nb = Fp // cb
+    xb = _rows_call(
+        x.reshape(B * nb, cb), _sort_kernel, interpret=interpret
+    )
+    x = xb.reshape(B, Fp)
+    n = 2 * cb
+    while n <= Fp:
+        xr = x.reshape(B, Fp // n, n)
+        a = xr[..., : n // 2]
+        b = xr[..., n // 2:][..., ::-1]
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        x = jnp.concatenate(
+            [lo, hi[..., ::-1]], axis=-1
+        ).reshape(B, Fp)
+        d = n // 4
+        while d >= cb:
+            xr = x.reshape(B, -1, 2, d)
+            lo = jnp.minimum(xr[..., 0, :], xr[..., 1, :])
+            hi = jnp.maximum(xr[..., 0, :], xr[..., 1, :])
+            x = jnp.stack([lo, hi], axis=-2).reshape(B, Fp)
+            d //= 2
+        x = _rows_call(
+            x.reshape(B * nb, cb), _finish_kernel, interpret=interpret
+        ).reshape(B, Fp)
+        n *= 2
+    return x
+
+
+def bitonic_sort_rows(x, pad_value=np.int32(2**31 - 1), interpret=None,
+                      block=None):
     """Sort each row of i32 ``x`` [B, F] ascending. F is padded to a
     power of two with ``pad_value`` (must be >= every real key for the
     suffix to land at the tail) and B to a multiple of 8; the result is
-    sliced back to the input shape."""
+    sliced back to the input shape. ``block`` forces the hierarchical
+    block size (testing hook; default _CB, one-shot when the row fits
+    VMEM)."""
     B, F = x.shape
     Fp = 1
     while Fp < F:
@@ -95,14 +166,19 @@ def bitonic_sort_rows(x, pad_value=np.int32(2**31 - 1), interpret=None):
                     constant_values=pad_value)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    out = _sort_call(x, interpret=interpret)
+    cb = min(block or _CB, _BLOCK_MAX)
+    if Fp <= (cb if block else _BLOCK_MAX):
+        out = _sort_call(x, interpret=interpret)
+    else:
+        out = _hier_sort(x, cb=cb, interpret=interpret)
     return out[:B, :F]
 
 
 def use_pallas_sort(F: int, n_pep: int) -> bool:
     """Engage the VMEM sort: TPU backend (the interpreter is far slower
-    than lax.sort), row fits the VMEM budget, and peptide ids fit the
-    26-bit packing the callers use."""
+    than lax.sort), row fits the budget (VMEM for one-shot rows, HBM
+    streaming for the hierarchical block-merge path), and peptide ids
+    fit the 26-bit packing the callers use."""
     env = os.environ.get("SAGE_TPU_PSORT")
     if env is not None:
         return env != "0"

@@ -1847,31 +1847,39 @@ class Scorer:
             # batch computes its ranges ON DEVICE (ranges_device, bit-
             # identical) under the sticky shapes, with a device-computed
             # overflow check that falls back + grows on violation.
+            from .open_search import covered_bands, spectrum_window_union
+
             os_ = self._open_searcher()
             stk = getattr(os_, "_sticky_shapes", None)
+            u0_d, u1_d = spectrum_window_union(rows, n_spec)
+            _b0, _b1, nbcov_u = covered_bands(
+                u0_d, u1_d, os_.band_w, os_.n_bands, n_spec
+            )
             if (
                 os.environ.get("SAGE_TPU_OPEN_DEV_RANGES", "1") != "0"
                 and stk is not None
-                and n_spec * stk["F"] <= os_.MAX_ELEMENTS
+                and n_spec * nbcov_u * stk["F"] <= os_.MAX_ELEMENTS
             ):
                 open_sticky = dict(stk)
             else:
                 geom = os_._geometry(masses, rows, Zb, None)
-                g_starts, g_lens, Pk_eff, chunked, size, Wc, F_open = geom
-                split = os_._find_split(n_spec, size)
+                (g_starts, g_lens, Pk_eff, chunked, size, Wc, F_open,
+                 nbcov_g) = geom
+                split = os_._find_split(n_spec, size, nbcov_g)
                 if split is not None:
                     # one split level is expressible as two pseudo-
                     # segments; deeper recursion goes classic
                     for s_ids in (np.flatnonzero(split),
                                   np.flatnonzero(~split)):
                         if s_ids.size and (
-                            s_ids.size * (int(size[s_ids].max()) + 1)
+                            s_ids.size * nbcov_g
+                            * (int(size[s_ids].max()) + 1)
                             > os_.MAX_ELEMENTS
                         ):
                             return None
                 open_geom = (
                     os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_open,
-                    split, size,
+                    split, size, nbcov_g,
                 )
 
         nb_obj = None if open_regime else self._narrow_banded_maybe(W)
@@ -1880,14 +1888,12 @@ class Scorer:
             from .open_search import (
                 V_ROW as V_ROW_OS,
                 _range_stats,
-                spectrum_window_union,
             )
 
-            u0_d, u1_d = spectrum_window_union(rows, n_spec)
-            st_dev, ln_dev, _nbc = os_.ranges_device(
+            st_dev, ln_dev, nbc = os_.ranges_device(
                 peaks_dev, u0_d, u1_d, Zb
             )
-            Pk_eff = int(st_dev.shape[1]) // max(Zb, 1)
+            Pk_eff = int(st_dev.shape[1]) // max(Zb * nbc, 1)
             chunked = open_sticky["chunked"]
             Wc_b = open_sticky["Wc"]
             F_b = open_sticky["F"]
@@ -1907,7 +1913,7 @@ class Scorer:
                 "os": os_, "spec_ids": np.arange(n_spec),
                 "rows_idx": np.arange(n_rows),
                 "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
-                "chunked": chunked, "Pk_eff": Pk_eff,
+                "chunked": chunked, "Pk_eff": Pk_eff, "nbcov": nbc,
                 "starts": st_dev, "lens": ln_dev,
                 "lspec": lspec, "li0": li0, "li1": li1, "lmz": lmz,
             }]
@@ -1924,15 +1930,21 @@ class Scorer:
             ints[7, :n_rows] = slot
             # device-computed shape-overflow stats (vs the sticky F/Wc),
             # returned through the tail row and checked in the finalize
-            open_sticky["stats"] = _range_stats(st_dev, ln_dev)
+            open_sticky["stats"] = _range_stats(
+                st_dev, ln_dev, nbcov=nbc, Zb=Zb, Pk=Pk_eff
+            )
             open_sticky["os"] = os_
         elif open_geom is not None:
             from .open_search import V_ROW as V_ROW_OS
             from .open_search import _quarter_octave
 
             (os_, g_starts, g_lens, Pk_eff, chunked, Wc, F_all, split,
-             size) = open_geom
-            totals = g_lens.sum(axis=1)
+             size, nbcov_g) = open_geom
+            # per-spectrum max over covered bands of that band's entry
+            # count — the unit the band-major count core pads F to
+            totals = g_lens.reshape(
+                n_spec, Zb, nbcov_g, Pk_eff
+            ).sum(axis=(1, 3)).max(axis=1)
             if split is None:
                 os_.note_shapes(chunked, Wc, int(totals.max(initial=0)))
             sides = (
@@ -1979,6 +1991,7 @@ class Scorer:
                     "os": os_, "spec_ids": spec_ids, "rows_idx": rows_idx,
                     "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
                     "chunked": chunked, "Pk_eff": Pk_eff,
+                    "nbcov": nbcov_g,
                     "starts": g_starts if whole else g_starts[spec_ids],
                     "lens": g_lens if whole else g_lens[spec_ids],
                     "lspec": lspec, "li0": li0, "li1": li1, "lmz": lmz,
@@ -2127,6 +2140,7 @@ class Scorer:
                 kw = dict(
                     F=seg["F_b"], Wc=seg["Wc_b"], Pk=seg["Pk_eff"],
                     Z=Zb, K=self.K, R=seg["R_b"], chunked=seg["chunked"],
+                    nbcov=seg.get("nbcov", 1),
                     psort=use_pallas_sort(seg["F_b"], seg["os"].n_pep),
                 )
                 seg_outs.append(_device_open_count(*sd, **kw))

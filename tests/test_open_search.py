@@ -172,8 +172,8 @@ def test_open_select_two_segment_split(db, monkeypatch):
     os_ = s_whole._open_searcher()
     masses, _, _ = s_whole._pad_peaks(spectra)
     rows = s_whole._expand_rows(spectra)
-    *_, size, _, _ = os_._geometry(masses, rows, s_whole.Z, None)
-    whole_fp = len(spectra) * (int(size.max()) + 1)
+    *_, size, _, _, nbcov = os_._geometry(masses, rows, s_whole.Z, None)
+    whole_fp = len(spectra) * nbcov * (int(size.max()) + 1)
     monkeypatch.setattr(osmod.OpenSearcher, "MAX_ELEMENTS", whole_fp - 1)
     s_split = Scorer(db, sp)
     t_split = s_split.score_table(spectra)
