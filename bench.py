@@ -435,13 +435,33 @@ def profile_open(scorer, spectra, batch):
     ints_dev = cap["ints_dev"]
     perm_dev = cap["perm_dev"]
     seg_outs0 = cap["seg_outs"]
+    # the device-planned path computes its window ranges ON DEVICE every
+    # batch — that is real per-batch device time, so the exec split
+    # chains it ahead of the count program (it used to be omitted,
+    # overstating open device throughput ~1.3x)
+    rng_cap = cap.get("open_ranges")
+
+    def run_counts(z):
+        if rng_cap is not None:
+            os_, u0, u1, Zb_r = rng_cap
+            st, ln, _ = os_.ranges_device(
+                peaks_dev + z.astype(peaks_dev.dtype), u0, u1, Zb_r
+            )
+            outs = []
+            for sd, kw, ids in osegs:
+                st_c = st if ids is None else st[jnp.asarray(ids)]
+                ln_c = ln if ids is None else ln[jnp.asarray(ids)]
+                outs.append(
+                    _device_open_count(sd[0], st_c, ln_c, *sd[3:], **kw)
+                )
+            return outs
+        return [
+            _device_open_count(sd[0], sd[1] + z, *sd[2:], **kw)
+            for sd, kw, _ids in osegs
+        ]
 
     def step_s1(c):
-        z = c[0] * 0
-        outs = [
-            _device_open_count(sd[0], sd[1] + z, *sd[2:], **kw)
-            for sd, kw in osegs
-        ]
+        outs = run_counts(c[0] * 0)
         return outs[-1][0, :1]
 
     def step_merge(c):
@@ -450,14 +470,13 @@ def profile_open(scorer, spectra, batch):
         return small[-1, :1].astype(jnp.int32)
 
     def step_all(c):
-        z = c[0] * 0
-        outs = [
-            _device_open_count(sd[0], sd[1] + z, *sd[2:], **kw)
-            for sd, kw in osegs
-        ]
-        small, _i, _m = fn(peaks_dev, ints_dev + z, perm_dev, outs)
+        outs = run_counts(c[0] * 0)
+        small, _i, _m = fn(
+            peaks_dev, ints_dev + (c[0] * 0), perm_dev, outs
+        )
         return small[-1, :1].astype(jnp.int32)
 
+    prof["open_ranges_on_device"] = rng_cap is not None
     prof["open_s1_exec_s"] = round(devprof.chained_exec_s(step_s1), 4)
     prof["open_merge_exec_s"] = round(
         devprof.chained_exec_s(step_merge), 4

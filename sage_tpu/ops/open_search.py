@@ -473,44 +473,111 @@ def _open_count_core(
     _BLK = 2048
 
     def _topk_counts(cnt):
-        """Exact top-K of (count desc, index asc). At long entry axes
-        lax.top_k costs as much as the entry sort itself (measured 26 ms
-        for [512, 40960] vs 3 ms for the whole run-length count), so the
-        axis is split into 2048-lane blocks, top-K'd per block, and the
-        block winners re-top-K'd: any global top-K element is a top-K
-        element of its own block, and equal counts keep ascending-index
-        order through both stages (within-block ranks are index-
-        ascending and blocks concatenate in index order) — bit-identical
-        to the single-stage result, ~2.5x faster."""
-        if Fax < 4 * _BLK:
+        """Exact top-K of (count desc, index asc). Small axes use
+        lax.top_k directly; long axes use a pairing TOURNAMENT (see
+        _topk_tournament) — measured ~10x cheaper than blocked top_k at
+        proteome-scale entry axes, bit-identical output."""
+        if Fax <= 4 * _BLK:
             return jax.lax.top_k(cnt, K)
-        nbk = -(-Fax // _BLK)
-        pad = nbk * _BLK - Fax
-        if pad:
-            cnt = jnp.pad(cnt, (0, pad))
-        v1, i1 = jax.lax.top_k(cnt.reshape(nbk, _BLK), K)
-        v2, j2 = jax.lax.top_k(v1.reshape(-1), K)
-        idx = (j2 // K) * _BLK + i1.reshape(-1)[j2]
-        return v2, jnp.minimum(idx, Fax - 1)
+        return _topk_tournament(cnt, K)
 
-    def per_row(spec, i0, i1, maxz):
-        p = pep_sorted[spec]
-        ok = (p >= i0) & (p < i1)
-        if z_sorted is not None:
+    def _topk_tournament(cnt, K):
+        """Exact top-K of (count desc, index asc) by pair-and-halve:
+        64-blocks are sorted to that order; each round takes the
+        elementwise winner of one block vs its REVERSED sibling — for
+        two sorted sequences this keeps exactly the top-64 of the pair
+        (the first half of their bitonic merge) — and re-sorts the
+        survivors. Data halves every round, so total work is ~2 sorts
+        of 64-wide blocks over the input, vs a full top_k (which XLA
+        lowers to a whole-axis sort). Ties: the index key makes every
+        element distinct, and (count desc, index asc) is exactly
+        lax.top_k's tie rule, so the result is bit-identical.
+
+        Keys are (count << b) | (Fax-1-pos) packed into one i32 when
+        the static count bound fits (counts are bounded by the entry
+        axis itself), else a 2-operand lexicographic sort."""
+        b = max(Fax - 1, 1).bit_length()
+        # sound static bound: a run's masked count can never exceed the
+        # entry axis length (strict: cnt == Fax must still fit)
+        packed = b <= 15 and Fax < (1 << (31 - b))
+        nb = Fax // 64  # Fax is always a multiple of 128
+        pos_rev = jnp.arange(Fax - 1, -1, -1, dtype=jnp.int32)
+        if packed:
+            key = (cnt << b) | pos_rev
+            kb = jax.lax.sort(
+                -key.reshape(nb, 64), dimension=1, num_keys=1
+            )
+            while nb % 2 == 0 and nb > 1:
+                nb //= 2
+                a = kb[0::2]
+                c = jnp.minimum(a, kb[1::2, ::-1])  # -key: min = winner
+                kb = jax.lax.sort(c, dimension=1, num_keys=1)
+            key_f = -kb.reshape(-1)
+            topk, _ = jax.lax.top_k(key_f, K)
+            vals = topk >> b
+            idx = (Fax - 1) - (topk & ((1 << b) - 1))
+            return vals, jnp.where(vals > 0, idx, 0)
+        nc = (-cnt).reshape(nb, 64)
+        ps = (Fax - 1 - pos_rev).reshape(nb, 64)
+        nc, ps = jax.lax.sort((nc, ps), dimension=1, num_keys=2)
+        while nb % 2 == 0 and nb > 1:
+            nb //= 2
+            a_c, a_p = nc[0::2], ps[0::2]
+            b_c, b_p = nc[1::2, ::-1], ps[1::2, ::-1]
+            take_a = (a_c < b_c) | ((a_c == b_c) & (a_p < b_p))
+            nc = jnp.where(take_a, a_c, b_c)
+            ps = jnp.where(take_a, a_p, b_p)
+            nc, ps = jax.lax.sort((nc, ps), dimension=1, num_keys=2)
+        ncf, psf = jax.lax.sort(
+            (nc.reshape(-1), ps.reshape(-1)), dimension=0, num_keys=2
+        )
+        vals = -ncf[:K]
+        return vals, jnp.where(vals > 0, psf[:K], 0)
+
+    if z_sorted is None:
+        # ONE fragment-charge plane (the reference's open benchmark
+        # regime, max_fragment_charge=1): every run's count is its full
+        # LENGTH, independent of the query row — the precursor range
+        # [i0, i1) keeps or drops whole runs (all entries of a run share
+        # one peptide). Run lengths are computed ONCE per pseudo-row;
+        # each query row is just a range mask + reduce + top-K, with no
+        # per-row scans (the cumsum+cummax pair was ~2x the whole count
+        # phase at proteome scale).
+        pos = jnp.arange(Fax, dtype=jnp.int32)[None, :]
+        base_pos = jax.lax.cummax(
+            jnp.where(run_start, pos, 0), axis=1
+        )
+        rl_end = jnp.where(
+            run_end & (pep_sorted >= 0), pos - base_pos + 1, 0
+        )  # [BN, Fax] run length at run ends, 0 elsewhere
+
+        def per_row(spec, i0, i1, maxz):
+            p = pep_sorted[spec]
+            cnt = jnp.where((p >= i0) & (p < i1), rl_end[spec], 0)
+            matched_total = jnp.sum(cnt)
+            scored = jnp.sum((cnt > 0).astype(jnp.int32))
+            vals, idx = _topk_counts(cnt)
+            cand = jnp.where(vals > 0, p[idx], np.int32(0))
+            return vals, cand, matched_total, scored
+    else:
+        def per_row(spec, i0, i1, maxz):
+            p = pep_sorted[spec]
+            ok = (p >= i0) & (p < i1)
             ok &= z_sorted[spec] < maxz
-        cs = jnp.cumsum(ok.astype(jnp.int32))
-        cs0 = jnp.concatenate([jnp.zeros(1, jnp.int32), cs[:-1]])
-        # masked count at each run's start, propagated to the run end:
-        # cs0 is non-decreasing, so a plain cummax over (run_start ?
-        # cs0 : 0) carries the latest run-start value forward — no
-        # random per-element gather (which costs ~10x the cummax here)
-        base = jax.lax.cummax(jnp.where(run_start[spec], cs0, 0))
-        cnt = jnp.where(run_end[spec] & (p >= 0), cs - base, 0)
-        matched_total = jnp.sum(ok & (p >= 0))
-        scored = jnp.sum((cnt > 0).astype(jnp.int32))
-        vals, idx = _topk_counts(cnt)
-        cand = jnp.where(vals > 0, p[idx], np.int32(0))
-        return vals, cand, matched_total, scored
+            cs = jnp.cumsum(ok.astype(jnp.int32))
+            cs0 = jnp.concatenate([jnp.zeros(1, jnp.int32), cs[:-1]])
+            # masked count at each run's start, propagated to the run
+            # end: cs0 is non-decreasing, so a plain cummax over
+            # (run_start ? cs0 : 0) carries the latest run-start value
+            # forward — no random per-element gather (which costs ~10x
+            # the cummax here)
+            base = jax.lax.cummax(jnp.where(run_start[spec], cs0, 0))
+            cnt = jnp.where(run_end[spec] & (p >= 0), cs - base, 0)
+            matched_total = jnp.sum(ok & (p >= 0))
+            scored = jnp.sum((cnt > 0).astype(jnp.int32))
+            vals, idx = _topk_counts(cnt)
+            cand = jnp.where(vals > 0, p[idx], np.int32(0))
+            return vals, cand, matched_total, scored
 
     if nbcov == 1:
         return jax.vmap(per_row)(row_spec, row_i0, row_i1, row_maxz)
@@ -650,29 +717,141 @@ class OpenSearcher:
         self._dev_rng = None  # lazy device-ranges tables
         self._sticky_shapes = None  # learned static shapes (see below)
 
-    def note_shapes(self, chunked: bool, Wc: int, max_total: int):
+    def _qoct_F(self, v: int) -> int:
+        F = _quarter_octave(int(v) + 64)
+        return ((max(F, self.K, 128) + 127) // 128) * 128
+
+    def note_shapes(self, chunked: bool, Wc: int, max_total: int,
+                    sizes=None, ests=None):
         """Record quarter-octave STICKY static shapes from a host-
         planned batch, enabling the device-planned fast path (no host
         searchsorted, no ranges upload) for every later batch. A 1.25x
         margin over the observed maxima absorbs batch-to-batch
-        variation; violations are detected on device and grown."""
-        F = _quarter_octave(int(max_total * 1.25) + 64)
-        F = ((max(F, self.K, 128) + 127) // 128) * 128
+        variation; violations are detected on device and grown.
+
+        With ``sizes`` (true per-(spectrum, densest band) entry maxima)
+        and ``ests`` (the density-histogram proxy, est_sizes), up to 3
+        SIZE CLASSES are recorded instead of one: per-spectrum entry
+        totals vary ~10x within a batch (measured pad_ratio ~5 at
+        -500/+100 Da on a proteome), so padding every spectrum to the
+        batch max wastes most of the sort/count work. Later batches
+        assign spectra to classes by alpha*est (alpha calibrated here,
+        grown on violation); per-class shape violations are detected on
+        device and grown per class."""
+        Wc_s = _quarter_octave(max(int(Wc * 1.25), 8))
+        F_top = self._qoct_F(int(max_total * 1.25))
+        classes = [{"Wc": Wc_s, "F": F_top}]
+        alpha = None
+        if (
+            sizes is not None and ests is not None and sizes.size >= 64
+            and np.all(ests > 0)
+        ):
+            s50 = self._qoct_F(int(np.percentile(sizes, 50) * 1.25))
+            s85 = self._qoct_F(int(np.percentile(sizes, 85) * 1.25))
+            cl = []
+            for F_c in (s50, s85, F_top):
+                if not cl or F_c > cl[-1]["F"]:
+                    # Wc scales with F (rows ~ entries/V + windows)
+                    wc_c = _quarter_octave(
+                        max(int(Wc * 1.25 * F_c / max(F_top, 1)) + 8, 8)
+                    )
+                    cl.append({"Wc": min(wc_c, Wc_s), "F": F_c})
+            if len(cl) > 1:
+                classes = cl
+                # alpha maps est -> per-(s, densest band) size with a
+                # high quantile so most mispredictions err UPWARD (a
+                # too-big class wastes a little padding; a too-small one
+                # costs a device-detected redo)
+                alpha = float(np.percentile(sizes / ests, 95))
         self._sticky_shapes = {
             "chunked": bool(chunked),
-            "Wc": _quarter_octave(max(int(Wc * 1.25), 8)),
-            "F": F,
+            "classes": classes,
+            "alpha": alpha,
+            # back-compat single-shape view (top class)
+            "Wc": classes[-1]["Wc"],
+            "F": classes[-1]["F"],
         }
 
-    def grow_shapes(self, tot_e: int, tot_r: int):
+    def grow_shapes(self, tot_e: int, tot_r: int, ci: int = -1):
+        """Grow class ``ci``'s sticky shapes after a device-detected
+        violation, and bump alpha so borderline spectra move up a
+        class. Growth never shrinks any class."""
         st = self._sticky_shapes
         if st is None:  # pragma: no cover - defensive
             return
-        F = _quarter_octave(int(tot_e * 1.25) + 64)
-        st["F"] = ((max(F, st["F"], self.K, 128) + 127) // 128) * 128
-        st["Wc"] = max(
-            _quarter_octave(max(int(tot_r * 1.25), 8)), st["Wc"]
+        cl = st["classes"][ci]
+        cl["F"] = max(self._qoct_F(int(tot_e * 1.25)), cl["F"])
+        cl["Wc"] = max(
+            _quarter_octave(max(int(tot_r * 1.25), 8)), cl["Wc"]
         )
+        if st.get("alpha"):
+            st["alpha"] *= 1.15
+        st["Wc"] = max(st["Wc"], st["classes"][-1]["Wc"])
+        st["F"] = max(st["F"], st["classes"][-1]["F"])
+
+    _est_hist = None
+
+    def est_sizes(self, masses: np.ndarray, u0, u1) -> np.ndarray:
+        """Cheap host proxy for each spectrum's per-(spectrum, densest
+        band) entry maximum — the unit the size classes pad to: a
+        PER-BAND 1-Da fragment-density histogram times the tolerance
+        width, summed over real peaks per covered band, maxed over the
+        spectrum's covered bands. (A whole-spectrum estimate ranks
+        poorly: which band is densest varies per spectrum, and the
+        p95-calibrated alpha then over-predicts the typical spectrum
+        ~5x, collapsing every class into the top one.) Used ONLY for
+        size-class membership — exact per-class capacity is enforced on
+        device (_range_stats) with a grow-and-redo fallback, so a bad
+        estimate costs time, never correctness."""
+        nb = self.n_bands
+        if self._est_hist is None:
+            mz = self.frag_mz
+            hi = int(min(float(mz[-1] if mz.size else 1.0), 39000.0)) + 2
+            H2 = np.zeros((nb, hi + 1), np.float32)
+            off = self.band_off
+            for b in range(nb):
+                seg = self.frag_mz[off[b]: off[b + 1]]
+                if seg.size:
+                    H2[b] = np.bincount(
+                        np.clip(seg.astype(np.int64), 0, hi),
+                        minlength=hi + 1,
+                    )
+            self._est_hist = H2
+        H2 = self._est_hist
+        B, Pk = masses.shape
+        m = np.where(np.isfinite(masses), masses, 0.0)
+        idx = np.clip(m.astype(np.int64), 0, H2.shape[1] - 1)
+        t = self.frag_tol
+        if t.kind == "ppm":
+            width = m * np.float64((float(t.hi) - float(t.lo)) * 1e-6)
+        else:
+            width = np.full((B, Pk), float(t.hi) - float(t.lo))
+        b0, b1, nbcov = covered_bands(u0, u1, self.band_w, nb, B)
+        bands = np.clip(
+            b0[:, None] + np.arange(nbcov)[None, :], 0, nb - 1
+        )  # [B, nbcov]
+        valid = (b0[:, None] + np.arange(nbcov)[None, :]) <= b1[:, None]
+        dens = H2[bands[:, :, None], idx[:, None, :]]  # [B, nbcov, Pk]
+        est_band = (dens * np.maximum(width, 0.0)[:, None, :]).sum(axis=2)
+        est = np.where(valid, est_band, 0.0).max(axis=1)
+        return np.maximum(est, 1.0)
+
+    def assign_classes(self, ests: np.ndarray):
+        """Class index per spectrum under the sticky classes: smallest
+        class whose F covers alpha*est. Returns None when the sticky
+        state has a single class (or no calibration)."""
+        st = self._sticky_shapes
+        if not st or len(st.get("classes", ())) <= 1 or not st.get("alpha"):
+            return None
+        # 1.25x assignment margin on top of the p95-calibrated alpha:
+        # ratio outliers above p95 land one class up instead of
+        # overflowing their class (a device-detected overflow costs a
+        # grow + full-batch redo; one class of extra padding is cheap)
+        pred = st["alpha"] * ests * 1.25
+        ci = np.zeros(ests.shape[0], np.int64)
+        for c, cl in enumerate(st["classes"][:-1]):
+            ci[pred > cl["F"]] = c + 1
+        return ci
 
     def _dev_ranges_tables(self):
         """Device tables for the decimated-rank range probe: a band-
@@ -795,8 +974,11 @@ class OpenSearcher:
 
     # device-memory budget for the [B, F] entry matrices; batches whose
     # (spectra x max-entries) footprint exceeds it are split (deep open
-    # searches on large proteomes can reach 10^5 entries per spectrum)
-    MAX_ELEMENTS = 64 << 20
+    # searches on large proteomes can reach 10^5 entries per spectrum).
+    # 128M i32 elements = 512 MB per buffer — comfortable on a 16 GB
+    # chip, and measured faster than splitting (one dispatch's fixed
+    # costs beat two half-size dispatches at these shapes)
+    MAX_ELEMENTS = 128 << 20
 
     def _geometry(self, masses, rows, Zb, _ranges):
         """Shared host planning for the open-search device programs:

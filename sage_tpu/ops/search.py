@@ -1623,11 +1623,13 @@ class Scorer:
             tail = (
                 jnp.zeros((1, 7), jnp.float32)
                 .at[0, 0].set(total.astype(jnp.float32))
-                .at[0, 1].set(tail_extra[0].astype(jnp.float32))
             )
-            if tail_extra.shape[0] > 1:
-                tail = tail.at[0, 2].set(
-                    tail_extra[1].astype(jnp.float32)
+            # up to 6 extra device-computed scalars ride the tail row
+            # (e.g. one (entries, rows) overflow pair per open size
+            # class); the shape is static per trace
+            for j in range(min(int(tail_extra.shape[0]), 6)):
+                tail = tail.at[0, 1 + j].set(
+                    tail_extra[j].astype(jnp.float32)
                 )
             small = jnp.concatenate([rows7, stats, tail], axis=0)
 
@@ -1855,12 +1857,31 @@ class Scorer:
             _b0, _b1, nbcov_u = covered_bands(
                 u0_d, u1_d, os_.band_w, os_.n_bands, n_spec
             )
+            sticky_ok = False
+            ci_pred = None
             if (
                 os.environ.get("SAGE_TPU_OPEN_DEV_RANGES", "1") != "0"
                 and stk is not None
-                and n_spec * nbcov_u * stk["F"] <= os_.MAX_ELEMENTS
             ):
+                # class-aware element budget: most spectra ride the
+                # small classes, so the footprint is the per-class sum,
+                # not n_spec x the top class's F
+                classes_s = stk.get("classes") or [{"F": stk["F"]}]
+                ci_pred = os_.assign_classes(
+                    os_.est_sizes(masses, u0_d, u1_d)
+                )
+                if ci_pred is None or len(classes_s) == 1:
+                    elems = n_spec * nbcov_u * stk["F"]
+                else:
+                    elems = sum(
+                        int((ci_pred == c).sum()) * nbcov_u
+                        * classes_s[c]["F"]
+                        for c in range(len(classes_s))
+                    )
+                sticky_ok = elems <= os_.MAX_ELEMENTS
+            if sticky_ok:
                 open_sticky = dict(stk)
+                open_sticky["ci"] = ci_pred
             else:
                 geom = os_._geometry(masses, rows, Zb, None)
                 (g_starts, g_lens, Pk_eff, chunked, size, Wc, F_open,
@@ -1893,46 +1914,108 @@ class Scorer:
             st_dev, ln_dev, nbc = os_.ranges_device(
                 peaks_dev, u0_d, u1_d, Zb
             )
+            if capture is not None:
+                # the range probe is real device time: the bench's open
+                # exec split chains it ahead of the count program
+                capture["open_ranges"] = (os_, u0_d, u1_d, Zb)
             Pk_eff = int(st_dev.shape[1]) // max(Zb * nbc, 1)
             chunked = open_sticky["chunked"]
-            Wc_b = open_sticky["Wc"]
-            F_b = open_sticky["F"]
-            if chunked:
-                F_b = min(F_b, Wc_b * V_ROW_OS)
-            open_sticky["F_eff"] = F_b
-            R_b = next_power_of_two(max(n_rows, 8))
-            lspec = np.full(R_b, n_spec, np.int32)
-            li0 = np.zeros(R_b, np.int32)
-            li1 = np.zeros(R_b, np.int32)
-            lmz = np.full(R_b, 2, np.int32)
-            lspec[:n_rows] = si
-            li0[:n_rows] = rows["i0"]
-            li1[:n_rows] = rows["i1"]
-            lmz[:n_rows] = maxz
-            open_segs = [{
-                "os": os_, "spec_ids": np.arange(n_spec),
-                "rows_idx": np.arange(n_rows),
-                "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
-                "chunked": chunked, "Pk_eff": Pk_eff, "nbcov": nbc,
-                "starts": st_dev, "lens": ln_dev,
-                "lspec": lspec, "li0": li0, "li1": li1, "lmz": lmz,
-            }]
-            plan = (("banded", R_b),)
-            ints = np.zeros((8, R_b), dtype=np.int32)
+            classes = open_sticky.get("classes") or [
+                {"Wc": open_sticky["Wc"], "F": open_sticky["F"]}
+            ]
+            # SIZE-CLASS membership by the host density proxy: padding
+            # every spectrum's entry axis to the batch max measured
+            # ~5x the true sort/count work (per-spectrum entry totals
+            # vary ~10x). Membership is only a prediction — each class's
+            # capacity is device-checked below and grown on violation.
+            ci = open_sticky.get("ci")
+            if ci is None:
+                ci = os_.assign_classes(
+                    os_.est_sizes(masses, u0_d, u1_d)
+                )
+            if ci is None or len(classes) == 1:
+                sides = [np.arange(n_spec)]
+                cls_of_side = [len(classes) - 1]
+            else:
+                sides, cls_of_side = [], []
+                for c in range(len(classes)):
+                    ids = np.flatnonzero(ci == c)
+                    if ids.size:
+                        sides.append(ids)
+                        cls_of_side.append(c)
+            whole = len(sides) == 1 and sides[0].size == n_spec
+            open_segs = []
+            plan_l = []
+            parts = []
+            stats_l = []
+            F_effs = []
+            Wcs = []
+            for ids, c in zip(sides, cls_of_side):
+                cl = classes[c]
+                Wc_b = cl["Wc"]
+                F_b = cl["F"]
+                if chunked:
+                    F_b = min(F_b, Wc_b * V_ROW_OS)
+                rows_idx = (
+                    np.arange(n_rows) if whole
+                    else np.flatnonzero(np.isin(si, ids))
+                )
+                R_b = next_power_of_two(max(rows_idx.size, 8))
+                lspec = np.full(R_b, ids.size, np.int32)  # sentinel
+                li0 = np.zeros(R_b, np.int32)
+                li1 = np.zeros(R_b, np.int32)
+                lmz = np.full(R_b, 2, np.int32)
+                nb_r = rows_idx.size
+                if whole:
+                    lspec[:nb_r] = si
+                else:
+                    remap = np.full(n_spec, -1, np.int64)
+                    remap[ids] = np.arange(ids.size)
+                    lspec[:nb_r] = remap[si[rows_idx]]
+                li0[:nb_r] = rows["i0"][rows_idx]
+                li1[:nb_r] = rows["i1"][rows_idx]
+                lmz[:nb_r] = maxz[rows_idx]
+                ids_dev = None if whole else jnp.asarray(ids)
+                st_c = st_dev if whole else st_dev[ids_dev]
+                ln_c = ln_dev if whole else ln_dev[ids_dev]
+                open_segs.append({
+                    "os": os_, "spec_ids": ids, "rows_idx": rows_idx,
+                    "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
+                    "chunked": chunked, "Pk_eff": Pk_eff, "nbcov": nbc,
+                    "starts": st_c, "lens": ln_c,
+                    "lspec": lspec, "li0": li0, "li1": li1, "lmz": lmz,
+                })
+                plan_l.append(("banded", R_b))
+                parts.append(rows_idx)
+                # device-computed shape-overflow stats (vs this class's
+                # sticky F/Wc), returned through the tail row and
+                # checked per class in the finalize
+                stats_l.append(_range_stats(
+                    st_c, ln_c, nbcov=nbc, Zb=Zb, Pk=Pk_eff
+                ))
+                F_effs.append(F_b)
+                Wcs.append(Wc_b)
+            plan = tuple(plan_l)
+            R_tot = sum(p[1] for p in plan)
+            ints = np.zeros((8, R_tot), dtype=np.int32)
             ints[0] = S_pad
             ints[4] = 2
-            ints[0, :n_rows] = si
-            ints[2, :n_rows] = rows["i0"]
-            ints[3, :n_rows] = rows["i1"]
-            ints[4, :n_rows] = maxz
-            ints[5, :n_rows] = rows["z"]
-            ints[6, :n_rows] = rows["iso"]
-            ints[7, :n_rows] = slot
-            # device-computed shape-overflow stats (vs the sticky F/Wc),
-            # returned through the tail row and checked in the finalize
-            open_sticky["stats"] = _range_stats(
-                st_dev, ln_dev, nbcov=nbc, Zb=Zb, Pk=Pk_eff
-            )
+            off = 0
+            for seg, rows_idx in zip(open_segs, parts):
+                nb_r = rows_idx.size
+                sl = slice(off, off + nb_r)
+                ints[0, sl] = si[rows_idx]
+                ints[2, sl] = rows["i0"][rows_idx]
+                ints[3, sl] = rows["i1"][rows_idx]
+                ints[4, sl] = maxz[rows_idx]
+                ints[5, sl] = rows["z"][rows_idx]
+                ints[6, sl] = rows["iso"][rows_idx]
+                ints[7, sl] = slot[rows_idx]
+                off += seg["R_b"]
+            open_sticky["stats"] = jnp.concatenate(stats_l)  # [2k]
+            open_sticky["cls_of_side"] = cls_of_side
+            open_sticky["F_effs"] = F_effs
+            open_sticky["Wcs"] = Wcs
             open_sticky["os"] = os_
         elif open_geom is not None:
             from .open_search import V_ROW as V_ROW_OS
@@ -1945,8 +2028,15 @@ class Scorer:
             totals = g_lens.reshape(
                 n_spec, Zb, nbcov_g, Pk_eff
             ).sum(axis=(1, 3)).max(axis=1)
-            if split is None:
-                os_.note_shapes(chunked, Wc, int(totals.max(initial=0)))
+            # record sticky shapes WITH size classes: the host-planned
+            # batch knows every spectrum's true entry totals, so it both
+            # sizes the classes and calibrates the est->size scale the
+            # device-planned batches assign membership with
+            os_.note_shapes(
+                chunked, Wc, int(totals.max(initial=0)),
+                sizes=totals.astype(np.float64),
+                ests=os_.est_sizes(masses, u0_d, u1_d),
+            )
             sides = (
                 [np.arange(n_spec)] if split is None
                 else [np.flatnonzero(split), np.flatnonzero(~split)]
@@ -2145,7 +2235,11 @@ class Scorer:
                 )
                 seg_outs.append(_device_open_count(*sd, **kw))
                 if capture is not None:
-                    capture.setdefault("open_segs", []).append((sd, kw))
+                    ids = seg.get("spec_ids")
+                    whole_seg = ids is None or ids.size == n_spec
+                    capture.setdefault("open_segs", []).append(
+                        (sd, kw, None if whole_seg else np.asarray(ids))
+                    )
         elif nb_obj is not None:
             packed_b, totmax, nb_F = nb_obj.dispatch(
                 peaks_dev, rows, ints_dev, plan[0][1], Zb,
@@ -2279,22 +2373,26 @@ class Scorer:
                 return None
         ost = d.get("open_sticky")
         if ost is not None:
-            # device-planned open batch: the device reported the true
-            # max per-spectrum entry/row totals through the tail row —
-            # a sticky-shape violation means truncated entries, so grow
-            # the sticky shapes and rerun this batch via the classic
-            # (host-planned) path
-            tot_e = int(packed[-1, 1])
-            tot_r = int(packed[-1, 2])
-            if tot_e >= ost["F_eff"] or (
-                ost["chunked"] and tot_r > ost["Wc"]
-            ):
-                ost["os"].grow_shapes(tot_e, tot_r)
-                log.info(
-                    "open sticky shapes exceeded (entries %d vs F %d, "
-                    "rows %d vs Wc %d); growing",
-                    tot_e, ost["F_eff"], tot_r, ost["Wc"],
-                )
+            # device-planned open batch: the device reported each size
+            # class's true max per-(spectrum, band) entry/row totals
+            # through the tail row — a sticky-shape violation means
+            # truncated entries, so grow that class's sticky shapes and
+            # rerun this batch via the classic (host-planned) path
+            bad = False
+            for i, c in enumerate(ost["cls_of_side"]):
+                tot_e = int(packed[-1, 1 + 2 * i])
+                tot_r = int(packed[-1, 2 + 2 * i])
+                if tot_e >= ost["F_effs"][i] or (
+                    ost["chunked"] and tot_r > ost["Wcs"][i]
+                ):
+                    ost["os"].grow_shapes(tot_e, tot_r, ci=c)
+                    log.info(
+                        "open sticky class %d shapes exceeded (entries "
+                        "%d vs F %d, rows %d vs Wc %d); growing",
+                        c, tot_e, ost["F_effs"][i], tot_r, ost["Wcs"][i],
+                    )
+                    bad = True
+            if bad:
                 return None
         rows7 = packed[: S_pad * Ksel].reshape(S_pad, Ksel, 7)[:n_spec]
         stats = packed[S_pad * Ksel : S_pad * Ksel + S_pad][:n_spec]

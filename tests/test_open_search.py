@@ -383,7 +383,10 @@ def test_open_sticky_overflow_grows_and_redoes(db, monkeypatch):
     t0 = sc.score_table(batches[0])       # host-planned, records sticky
     os_ = sc._open_searcher()
     assert os_._sticky_shapes is not None
-    os_._sticky_shapes["F"] = 128         # force an entries violation
+    for cl in os_._sticky_shapes["classes"]:
+        cl["F"] = 128                     # force an entries violation
+        cl["Wc"] = 8
+    os_._sticky_shapes["F"] = 128
     os_._sticky_shapes["Wc"] = 8
     t1 = sc.score_table(batches[1])       # device-planned -> redo
     assert getattr(sc, "fused_reruns", 0) >= 1
