@@ -444,20 +444,31 @@ def profile_open(scorer, spectra, batch):
     def run_counts(z):
         if rng_cap is not None:
             os_, u0, u1, Zb_r = rng_cap
-            st, ln, _ = os_.ranges_device(
+            st, ln, nbc = os_.ranges_device(
                 peaks_dev + z.astype(peaks_dev.dtype), u0, u1, Zb_r
             )
             outs = []
-            for sd, kw, ids in osegs:
-                st_c = st if ids is None else st[jnp.asarray(ids)]
-                ln_c = ln if ids is None else ln[jnp.asarray(ids)]
+            for sd, kw, tag in osegs:
+                if tag is not None and tag[0] == "slot":
+                    _k, sids, ns, Zb_t, pk_t = tag
+                    st_c = jnp.reshape(jnp.transpose(jnp.reshape(
+                        st, (ns, Zb_t, nbc, pk_t)), (0, 2, 1, 3)),
+                        (ns * nbc, Zb_t * pk_t))[jnp.asarray(sids)]
+                    ln_c = jnp.reshape(jnp.transpose(jnp.reshape(
+                        ln, (ns, Zb_t, nbc, pk_t)), (0, 2, 1, 3)),
+                        (ns * nbc, Zb_t * pk_t))[jnp.asarray(sids)]
+                elif tag is not None:
+                    st_c = st[jnp.asarray(tag[1])]
+                    ln_c = ln[jnp.asarray(tag[1])]
+                else:
+                    st_c, ln_c = st, ln
                 outs.append(
                     _device_open_count(sd[0], st_c, ln_c, *sd[3:], **kw)
                 )
             return outs
         return [
             _device_open_count(sd[0], sd[1] + z, *sd[2:], **kw)
-            for sd, kw, _ids in osegs
+            for sd, kw, _tag in osegs
         ]
 
     def step_s1(c):

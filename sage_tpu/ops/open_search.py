@@ -722,47 +722,62 @@ class OpenSearcher:
         return ((max(F, self.K, 128) + 127) // 128) * 128
 
     def note_shapes(self, chunked: bool, Wc: int, max_total: int,
-                    sizes=None, ests=None):
+                    slot_sizes=None, slot_ests=None, slot_valid=None,
+                    slot_rows=None):
         """Record quarter-octave STICKY static shapes from a host-
         planned batch, enabling the device-planned fast path (no host
         searchsorted, no ranges upload) for every later batch. A 1.25x
         margin over the observed maxima absorbs batch-to-batch
         variation; violations are detected on device and grown.
 
-        With ``sizes`` (true per-(spectrum, densest band) entry maxima)
-        and ``ests`` (the density-histogram proxy, est_sizes), up to 3
-        SIZE CLASSES are recorded instead of one: per-spectrum entry
-        totals vary ~10x within a batch (measured pad_ratio ~5 at
-        -500/+100 Da on a proteome), so padding every spectrum to the
-        batch max wastes most of the sort/count work. Later batches
-        assign spectra to classes by alpha*est (alpha calibrated here,
-        grown on violation); per-class shape violations are detected on
-        device and grown per class."""
+        With the slot matrices (per-(spectrum, covered band) true entry
+        totals / gather-row totals from the teaching batch's geometry,
+        plus the density-histogram estimates), up to 3 SLOT SIZE
+        CLASSES are recorded instead of one batch-wide shape: slot
+        entry totals vary ~10x both across spectra and across one
+        spectrum's bands, so padding every slot to the batch max wastes
+        most of the sort/count work (measured pad_ratio ~5). Later
+        batches dispatch each (spectrum, band) slot as its own
+        pseudo-row in the class fitting alpha*est (alpha calibrated
+        here, grown on violation); per-class shape violations are
+        detected on device and grown per class."""
         Wc_s = _quarter_octave(max(int(Wc * 1.25), 8))
         F_top = self._qoct_F(int(max_total * 1.25))
         classes = [{"Wc": Wc_s, "F": F_top}]
         alpha = None
-        if (
-            sizes is not None and ests is not None and sizes.size >= 64
-            and np.all(ests > 0)
-        ):
-            s50 = self._qoct_F(int(np.percentile(sizes, 50) * 1.25))
-            s85 = self._qoct_F(int(np.percentile(sizes, 85) * 1.25))
-            cl = []
-            for F_c in (s50, s85, F_top):
-                if not cl or F_c > cl[-1]["F"]:
-                    # Wc scales with F (rows ~ entries/V + windows)
-                    wc_c = _quarter_octave(
-                        max(int(Wc * 1.25 * F_c / max(F_top, 1)) + 8, 8)
-                    )
+        if slot_sizes is not None and slot_valid is not None:
+            sv = slot_sizes[slot_valid].astype(np.float64)
+            ev = (
+                slot_ests[slot_valid].astype(np.float64)
+                if slot_ests is not None else None
+            )
+            rv = (
+                slot_rows[slot_valid].astype(np.float64)
+                if slot_rows is not None else None
+            )
+            if sv.size >= 64 and ev is not None and np.all(ev > 0):
+                F_max = self._qoct_F(int(sv.max(initial=0) * 1.25))
+                s50 = self._qoct_F(int(np.percentile(sv, 50) * 1.25))
+                s85 = self._qoct_F(int(np.percentile(sv, 85) * 1.25))
+                cl = []
+                for F_c in (s50, s85, F_max):
+                    if cl and F_c <= cl[-1]["F"]:
+                        continue
+                    if rv is not None and rv.size:
+                        in_c = sv * 1.25 <= F_c
+                        wc_c = _quarter_octave(max(
+                            int(rv[in_c].max(initial=8) * 1.25), 8
+                        ))
+                    else:
+                        wc_c = Wc_s
                     cl.append({"Wc": min(wc_c, Wc_s), "F": F_c})
-            if len(cl) > 1:
-                classes = cl
-                # alpha maps est -> per-(s, densest band) size with a
-                # high quantile so most mispredictions err UPWARD (a
-                # too-big class wastes a little padding; a too-small one
-                # costs a device-detected redo)
-                alpha = float(np.percentile(sizes / ests, 95))
+                if len(cl) > 1:
+                    classes = cl
+                    # alpha maps est -> slot size with a high quantile
+                    # so most mispredictions err UPWARD (a too-big
+                    # class wastes a little padding; a too-small one
+                    # costs a device-detected redo)
+                    alpha = float(np.percentile(sv / ev, 95))
         self._sticky_shapes = {
             "chunked": bool(chunked),
             "classes": classes,
@@ -803,6 +818,15 @@ class OpenSearcher:
         size-class membership — exact per-class capacity is enforced on
         device (_range_stats) with a grow-and-redo fallback, so a bad
         estimate costs time, never correctness."""
+        est_band, valid = self.est_band_sizes(masses, u0, u1)
+        est = np.where(valid, est_band, 0.0).max(axis=1)
+        return np.maximum(est, 1.0)
+
+    def est_band_sizes(self, masses: np.ndarray, u0, u1):
+        """Per-(spectrum, covered band slot) entry-total estimate
+        ([B, nbcov] f64) plus the live-slot mask, from the per-band
+        density histogram. Slot layout matches covered_bands /
+        _geometry's tot_sb columns."""
         nb = self.n_bands
         if self._est_hist is None:
             mz = self.frag_mz
@@ -832,14 +856,15 @@ class OpenSearcher:
         )  # [B, nbcov]
         valid = (b0[:, None] + np.arange(nbcov)[None, :]) <= b1[:, None]
         dens = H2[bands[:, :, None], idx[:, None, :]]  # [B, nbcov, Pk]
-        est_band = (dens * np.maximum(width, 0.0)[:, None, :]).sum(axis=2)
-        est = np.where(valid, est_band, 0.0).max(axis=1)
-        return np.maximum(est, 1.0)
+        est_band = (
+            (dens * np.maximum(width, 0.0)[:, None, :]).sum(axis=2)
+        ).astype(np.float64)
+        return np.maximum(est_band, 1.0), valid
 
     def assign_classes(self, ests: np.ndarray):
-        """Class index per spectrum under the sticky classes: smallest
-        class whose F covers alpha*est. Returns None when the sticky
-        state has a single class (or no calibration)."""
+        """Class index per slot (any array shape) under the sticky
+        classes: smallest class whose F covers alpha*est. Returns None
+        when the sticky state has a single class (or no calibration)."""
         st = self._sticky_shapes
         if not st or len(st.get("classes", ())) <= 1 or not st.get("alpha"):
             return None
@@ -848,7 +873,7 @@ class OpenSearcher:
         # overflowing their class (a device-detected overflow costs a
         # grow + full-batch redo; one class of extra padding is cheap)
         pred = st["alpha"] * ests * 1.25
-        ci = np.zeros(ests.shape[0], np.int64)
+        ci = np.zeros(ests.shape, np.int64)
         for c, cl in enumerate(st["classes"][:-1]):
             ci[pred > cl["F"]] = c + 1
         return ci

@@ -1859,29 +1859,33 @@ class Scorer:
             )
             sticky_ok = False
             ci_pred = None
+            valid_pred = None
             if (
                 os.environ.get("SAGE_TPU_OPEN_DEV_RANGES", "1") != "0"
                 and stk is not None
             ):
-                # class-aware element budget: most spectra ride the
-                # small classes, so the footprint is the per-class sum,
-                # not n_spec x the top class's F
+                # class-aware element budget: each live (spectrum,
+                # band) SLOT rides its own size class, so the footprint
+                # is the per-slot sum, not n_spec x nbcov x the top
+                # class's F
                 classes_s = stk.get("classes") or [{"F": stk["F"]}]
-                ci_pred = os_.assign_classes(
-                    os_.est_sizes(masses, u0_d, u1_d)
+                eb_pred, valid_pred = os_.est_band_sizes(
+                    masses, u0_d, u1_d
                 )
+                ci_pred = os_.assign_classes(eb_pred)
                 if ci_pred is None or len(classes_s) == 1:
                     elems = n_spec * nbcov_u * stk["F"]
                 else:
+                    cif = ci_pred[valid_pred]
                     elems = sum(
-                        int((ci_pred == c).sum()) * nbcov_u
-                        * classes_s[c]["F"]
+                        int((cif == c).sum()) * classes_s[c]["F"]
                         for c in range(len(classes_s))
                     )
                 sticky_ok = elems <= os_.MAX_ELEMENTS
             if sticky_ok:
                 open_sticky = dict(stk)
                 open_sticky["ci"] = ci_pred
+                open_sticky["ci_valid"] = valid_pred
             else:
                 geom = os_._geometry(masses, rows, Zb, None)
                 (g_starts, g_lens, Pk_eff, chunked, size, Wc, F_open,
@@ -1923,99 +1927,159 @@ class Scorer:
             classes = open_sticky.get("classes") or [
                 {"Wc": open_sticky["Wc"], "F": open_sticky["F"]}
             ]
-            # SIZE-CLASS membership by the host density proxy: padding
-            # every spectrum's entry axis to the batch max measured
-            # ~5x the true sort/count work (per-spectrum entry totals
-            # vary ~10x). Membership is only a prediction — each class's
-            # capacity is device-checked below and grown on violation.
+            # SLOT SIZE-CLASS membership by the host density proxy:
+            # padding every (spectrum, band) slot's entry axis to the
+            # batch max measured ~5x the true sort/count work (slot
+            # totals vary ~10x across spectra AND across one spectrum's
+            # bands). Each live slot becomes its own pseudo-row in the
+            # class fitting its estimate; the outer merge program
+            # recombines a spectrum's slots exactly (its 4-key PreScore
+            # sort and stat sums are the same union the in-core
+            # band-major merge computed). Membership is only a
+            # prediction — each class's capacity is device-checked
+            # below and grown on violation.
             ci = open_sticky.get("ci")
+            valid_b = open_sticky.get("ci_valid")
             if ci is None:
-                ci = os_.assign_classes(
-                    os_.est_sizes(masses, u0_d, u1_d)
-                )
+                eb_s, valid_b = os_.est_band_sizes(masses, u0_d, u1_d)
+                ci = os_.assign_classes(eb_s)
+            if ci is not None and (
+                ci.ndim != 2 or ci.shape != (n_spec, nbc)
+            ):
+                ci = None  # defensive: slot layout mismatch
             if ci is None or len(classes) == 1:
-                sides = [np.arange(n_spec)]
-                cls_of_side = [len(classes) - 1]
-            else:
-                sides, cls_of_side = [], []
-                for c in range(len(classes)):
-                    ids = np.flatnonzero(ci == c)
-                    if ids.size:
-                        sides.append(ids)
-                        cls_of_side.append(c)
-            whole = len(sides) == 1 and sides[0].size == n_spec
-            open_segs = []
-            plan_l = []
-            parts = []
-            stats_l = []
-            F_effs = []
-            Wcs = []
-            for ids, c in zip(sides, cls_of_side):
-                cl = classes[c]
-                Wc_b = cl["Wc"]
-                F_b = cl["F"]
+                # single-class whole-batch layout (band-major core)
+                cl = classes[-1]
+                Wc_b, F_b = cl["Wc"], cl["F"]
                 if chunked:
                     F_b = min(F_b, Wc_b * V_ROW_OS)
-                rows_idx = (
-                    np.arange(n_rows) if whole
-                    else np.flatnonzero(np.isin(si, ids))
-                )
-                R_b = next_power_of_two(max(rows_idx.size, 8))
-                lspec = np.full(R_b, ids.size, np.int32)  # sentinel
+                R_b = next_power_of_two(max(n_rows, 8))
+                lspec = np.full(R_b, n_spec, np.int32)
                 li0 = np.zeros(R_b, np.int32)
                 li1 = np.zeros(R_b, np.int32)
                 lmz = np.full(R_b, 2, np.int32)
-                nb_r = rows_idx.size
-                if whole:
-                    lspec[:nb_r] = si
-                else:
-                    remap = np.full(n_spec, -1, np.int64)
-                    remap[ids] = np.arange(ids.size)
-                    lspec[:nb_r] = remap[si[rows_idx]]
-                li0[:nb_r] = rows["i0"][rows_idx]
-                li1[:nb_r] = rows["i1"][rows_idx]
-                lmz[:nb_r] = maxz[rows_idx]
-                ids_dev = None if whole else jnp.asarray(ids)
-                st_c = st_dev if whole else st_dev[ids_dev]
-                ln_c = ln_dev if whole else ln_dev[ids_dev]
-                open_segs.append({
-                    "os": os_, "spec_ids": ids, "rows_idx": rows_idx,
+                lspec[:n_rows] = si
+                li0[:n_rows] = rows["i0"]
+                li1[:n_rows] = rows["i1"]
+                lmz[:n_rows] = maxz
+                open_segs = [{
+                    "os": os_, "spec_ids": np.arange(n_spec),
+                    "rows_idx": np.arange(n_rows),
                     "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
                     "chunked": chunked, "Pk_eff": Pk_eff, "nbcov": nbc,
-                    "starts": st_c, "lens": ln_c,
+                    "starts": st_dev, "lens": ln_dev,
                     "lspec": lspec, "li0": li0, "li1": li1, "lmz": lmz,
-                })
-                plan_l.append(("banded", R_b))
-                parts.append(rows_idx)
-                # device-computed shape-overflow stats (vs this class's
-                # sticky F/Wc), returned through the tail row and
-                # checked per class in the finalize
-                stats_l.append(_range_stats(
-                    st_c, ln_c, nbcov=nbc, Zb=Zb, Pk=Pk_eff
-                ))
-                F_effs.append(F_b)
-                Wcs.append(Wc_b)
-            plan = tuple(plan_l)
-            R_tot = sum(p[1] for p in plan)
-            ints = np.zeros((8, R_tot), dtype=np.int32)
-            ints[0] = S_pad
-            ints[4] = 2
-            off = 0
-            for seg, rows_idx in zip(open_segs, parts):
-                nb_r = rows_idx.size
-                sl = slice(off, off + nb_r)
-                ints[0, sl] = si[rows_idx]
-                ints[2, sl] = rows["i0"][rows_idx]
-                ints[3, sl] = rows["i1"][rows_idx]
-                ints[4, sl] = maxz[rows_idx]
-                ints[5, sl] = rows["z"][rows_idx]
-                ints[6, sl] = rows["iso"][rows_idx]
-                ints[7, sl] = slot[rows_idx]
-                off += seg["R_b"]
-            open_sticky["stats"] = jnp.concatenate(stats_l)  # [2k]
-            open_sticky["cls_of_side"] = cls_of_side
-            open_sticky["F_effs"] = F_effs
-            open_sticky["Wcs"] = Wcs
+                }]
+                plan = (("banded", R_b),)
+                ints = np.zeros((8, R_b), dtype=np.int32)
+                ints[0] = S_pad
+                ints[4] = 2
+                ints[0, :n_rows] = si
+                ints[2, :n_rows] = rows["i0"]
+                ints[3, :n_rows] = rows["i1"]
+                ints[4, :n_rows] = maxz
+                ints[5, :n_rows] = rows["z"]
+                ints[6, :n_rows] = rows["iso"]
+                ints[7, :n_rows] = slot
+                open_sticky["stats"] = _range_stats(
+                    st_dev, ln_dev, nbcov=nbc, Zb=Zb, Pk=Pk_eff
+                )
+                open_sticky["cls_of_side"] = [len(classes) - 1]
+                open_sticky["F_effs"] = [F_b]
+                open_sticky["Wcs"] = [Wc_b]
+            else:
+                # slot-major device view of the ranges: window axis
+                # (z, band, pk) -> per-slot rows [B*nbc, Zb*Pk]
+                st_sm = jnp.reshape(jnp.transpose(jnp.reshape(
+                    st_dev, (n_spec, Zb, nbc, Pk_eff)
+                ), (0, 2, 1, 3)), (n_spec * nbc, Zb * Pk_eff))
+                ln_sm = jnp.reshape(jnp.transpose(jnp.reshape(
+                    ln_dev, (n_spec, Zb, nbc, Pk_eff)
+                ), (0, 2, 1, 3)), (n_spec * nbc, Zb * Pk_eff))
+                ci_flat = ci.reshape(-1)
+                live = valid_b.reshape(-1)
+                open_segs = []
+                plan_l = []
+                stats_l = []
+                F_effs = []
+                Wcs = []
+                cls_of_side = []
+                ints_cols = []
+                for c in range(len(classes)):
+                    slot_ids = np.flatnonzero(live & (ci_flat == c))
+                    if slot_ids.size == 0:
+                        continue
+                    cl = classes[c]
+                    Wc_b, F_b = cl["Wc"], cl["F"]
+                    if chunked:
+                        F_b = min(F_b, Wc_b * V_ROW_OS)
+                    s_arr = slot_ids // nbc
+                    k_arr = slot_ids % nbc
+                    # pseudo-rows: every query row of each slot's
+                    # spectrum, one per (row, band slot)
+                    cnts = counts_r[s_arr]
+                    n_ps = int(cnts.sum())
+                    ps_local = np.repeat(
+                        np.arange(slot_ids.size), cnts
+                    )  # local slot index per pseudo-row
+                    cum0 = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+                    r_idx = (
+                        np.repeat(starts[s_arr], cnts)
+                        + (np.arange(n_ps) - np.repeat(cum0, cnts))
+                    ).astype(np.int64)
+                    R_b = next_power_of_two(max(n_ps, 8))
+                    lspec = np.full(R_b, slot_ids.size, np.int32)
+                    li0 = np.zeros(R_b, np.int32)
+                    li1 = np.zeros(R_b, np.int32)
+                    lmz = np.full(R_b, 2, np.int32)
+                    lspec[:n_ps] = ps_local
+                    li0[:n_ps] = rows["i0"][r_idx]
+                    li1[:n_ps] = rows["i1"][r_idx]
+                    lmz[:n_ps] = maxz[r_idx]
+                    sid_dev = jnp.asarray(slot_ids.astype(np.int32))
+                    st_c = st_sm[sid_dev]
+                    ln_c = ln_sm[sid_dev]
+                    open_segs.append({
+                        "os": os_, "spec_ids": None,
+                        "slot_ids": slot_ids, "rows_idx": r_idx,
+                        "R_b": R_b, "F_b": F_b, "Wc_b": Wc_b,
+                        "chunked": chunked, "Pk_eff": Pk_eff,
+                        "nbcov": 1,
+                        "starts": st_c, "lens": ln_c,
+                        "lspec": lspec, "li0": li0, "li1": li1,
+                        "lmz": lmz,
+                    })
+                    plan_l.append(("banded", R_b))
+                    stats_l.append(_range_stats(
+                        st_c, ln_c, nbcov=1, Zb=Zb, Pk=Pk_eff
+                    ))
+                    F_effs.append(F_b)
+                    Wcs.append(Wc_b)
+                    cls_of_side.append(c)
+                    # merge coordinates: one slot per (query row, band)
+                    cols = np.zeros((8, R_b), np.int32)
+                    cols[0] = S_pad
+                    cols[4] = 2
+                    cols[0, :n_ps] = si[r_idx]
+                    cols[2, :n_ps] = rows["i0"][r_idx]
+                    cols[3, :n_ps] = rows["i1"][r_idx]
+                    cols[4, :n_ps] = maxz[r_idx]
+                    cols[5, :n_ps] = rows["z"][r_idx]
+                    cols[6, :n_ps] = rows["iso"][r_idx]
+                    cols[7, :n_ps] = (
+                        slot[r_idx] * nbc + np.repeat(k_arr, cnts)
+                    ).astype(np.int32)
+                    ints_cols.append(cols)
+                plan = tuple(plan_l)
+                ints = np.concatenate(ints_cols, axis=1)
+                # merge-grid slots are (query row, band) pairs now
+                G_eff = next_power_of_two(
+                    max((int(slot.max(initial=0)) + 1) * nbc, 1)
+                )
+                open_sticky["stats"] = jnp.concatenate(stats_l)
+                open_sticky["cls_of_side"] = cls_of_side
+                open_sticky["F_effs"] = F_effs
+                open_sticky["Wcs"] = Wcs
             open_sticky["os"] = os_
         elif open_geom is not None:
             from .open_search import V_ROW as V_ROW_OS
@@ -2025,17 +2089,32 @@ class Scorer:
              size, nbcov_g) = open_geom
             # per-spectrum max over covered bands of that band's entry
             # count — the unit the band-major count core pads F to
-            totals = g_lens.reshape(
+            tot_sb = g_lens.reshape(
                 n_spec, Zb, nbcov_g, Pk_eff
-            ).sum(axis=(1, 3)).max(axis=1)
-            # record sticky shapes WITH size classes: the host-planned
-            # batch knows every spectrum's true entry totals, so it both
-            # sizes the classes and calibrates the est->size scale the
-            # device-planned batches assign membership with
+            ).sum(axis=(1, 3))                       # [B, nbcov] slots
+            totals = tot_sb.max(axis=1)
+            g_ends = g_starts + g_lens
+            rows_sb = np.where(
+                g_lens > 0,
+                (g_ends + (V_ROW_OS - 1)) // V_ROW_OS
+                - g_starts // V_ROW_OS,
+                0,
+            ).reshape(n_spec, Zb, nbcov_g, Pk_eff).sum(axis=(1, 3))
+            eb_t, valid_t = os_.est_band_sizes(masses, u0_d, u1_d)
+            # record sticky shapes WITH slot size classes: the host-
+            # planned batch knows every (spectrum, band) slot's true
+            # entry totals, so it both sizes the classes and calibrates
+            # the est->size scale the device-planned batches assign
+            # membership with
             os_.note_shapes(
                 chunked, Wc, int(totals.max(initial=0)),
-                sizes=totals.astype(np.float64),
-                ests=os_.est_sizes(masses, u0_d, u1_d),
+                slot_sizes=tot_sb.astype(np.float64),
+                slot_ests=(
+                    eb_t if eb_t.shape == tot_sb.shape else None
+                ),
+                slot_valid=valid_t
+                if valid_t.shape == tot_sb.shape else None,
+                slot_rows=rows_sb.astype(np.float64),
             )
             sides = (
                 [np.arange(n_spec)] if split is None
@@ -2235,10 +2314,17 @@ class Scorer:
                 )
                 seg_outs.append(_device_open_count(*sd, **kw))
                 if capture is not None:
+                    sids = seg.get("slot_ids")
                     ids = seg.get("spec_ids")
-                    whole_seg = ids is None or ids.size == n_spec
+                    if sids is not None:
+                        tag = ("slot", np.asarray(sids), n_spec, Zb,
+                               seg["Pk_eff"])
+                    elif ids is None or ids.size == n_spec:
+                        tag = None
+                    else:
+                        tag = ("spec", np.asarray(ids))
                     capture.setdefault("open_segs", []).append(
-                        (sd, kw, None if whole_seg else np.asarray(ids))
+                        (sd, kw, tag)
                     )
         elif nb_obj is not None:
             packed_b, totmax, nb_F = nb_obj.dispatch(

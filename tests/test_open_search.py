@@ -365,6 +365,55 @@ def test_open_sticky_device_ranges_equivalence(db, monkeypatch):
             )
 
 
+def test_open_sticky_slot_classes_equivalence(db, monkeypatch):
+    """When the teaching batch records slot size classes, later batches
+    dispatch each (spectrum, band) slot as its own pseudo-row in its
+    size class, recombined by the outer merge — byte-identical to the
+    all-host single-segment path, including charge/isotope sweeps."""
+    import jax.numpy as jnp
+
+    sp = SearchParams(
+        precursor_tol=Tolerance("da", -300.0, 100.0),
+        fragment_tol=Tolerance("ppm", -15.0, 15.0),
+        override_precursor_charge=True,
+        min_isotope_err=-1,
+        max_isotope_err=1,
+    )
+    monkeypatch.setenv("SAGE_TPU_OPEN_THRESHOLD", "1")
+    spectra = _spectra(db, 96, seed=17)
+    batches = [spectra[i: i + 48] for i in range(0, 96, 48)]
+    monkeypatch.setenv("SAGE_TPU_OPEN_DEV_RANGES", "0")
+    t_ref = list(Scorer(db, sp).score_stream(batches))
+    monkeypatch.setenv("SAGE_TPU_OPEN_DEV_RANGES", "1")
+    sc = Scorer(db, sp)
+    t_dev = list(sc.score_stream(batches))
+    t_dev2 = list(sc.score_stream(batches))  # fully sticky pass
+    st = sc._open_searcher()._sticky_shapes
+    assert st is not None
+    # prove the slot path engaged (not just the single-class fallback)
+    b = batches[1]
+    masses, intens, Pk = sc._pad_peaks(b)
+    peaks_dev = jnp.asarray(np.stack([masses, intens]))
+    rows = sc._expand_rows(b)
+    cap = {}
+    d = sc._fused_dispatch(
+        b, masses, intens, Pk, peaks_dev, rows=rows, capture=cap
+    )
+    sc._fused_finalize(b, d, masses, intens, Pk)
+    if len(st["classes"]) > 1:
+        tags = [t[0] if t else None for _s, _k, t in cap["open_segs"]]
+        assert "slot" in tags
+    for t_cmp in (t_dev, t_dev2):
+        for a, b2 in zip(t_ref, t_cmp):
+            assert len(a) == len(b2)
+            for k in a.columns:
+                if k == "psm_id":
+                    continue
+                np.testing.assert_array_equal(
+                    b2.columns[k], a.columns[k], err_msg=k
+                )
+
+
 def test_open_sticky_overflow_grows_and_redoes(db, monkeypatch):
     """A device-planned batch that violates the sticky shapes must be
     detected (device-computed stats through the tail row), grown, and
