@@ -79,19 +79,28 @@ class Peptide:
     # -- construction -----------------------------------------------------
 
     @staticmethod
-    def from_digest(digest: Digest, proteins: Optional[List[str]] = None) -> Optional["Peptide"]:
+    def from_digest(
+        digest: Digest, proteins: Optional[List[str]] = None,
+        _mono: Optional[np.float32] = None,
+    ) -> Optional["Peptide"]:
         """peptide.rs:357-388: mass = H2O + sum(residues) accumulated
-        sequentially in f32; None for non-ASCII or unknown residues."""
+        sequentially in f32; None for non-ASCII or unknown residues.
+        ``_mono`` short-circuits the per-residue loop with a mass the
+        caller already computed with the same sequential-f32 op order
+        (see batch_monoisotopic)."""
         try:
             seq = digest.sequence.encode("ascii")
         except UnicodeEncodeError:
             return None
-        mass = F32(H2O)
-        for b in seq:
-            mono = MONOISOTOPIC_MASSES[b - 65] if 65 <= b <= 90 else F32(0.0)
-            if mono == 0.0:
-                return None
-            mass = F32(mass + mono)
+        if _mono is not None:
+            mass = _mono
+        else:
+            mass = F32(H2O)
+            for b in seq:
+                mono = MONOISOTOPIC_MASSES[b - 65] if 65 <= b <= 90 else F32(0.0)
+                if mono == 0.0:
+                    return None
+                mass = F32(mass + mono)
         return Peptide(
             decoy=digest.decoy,
             sequence=seq,
@@ -106,8 +115,51 @@ class Peptide:
         )
 
     @staticmethod
-    def from_group(group: DigestGroup) -> Optional["Peptide"]:
-        return Peptide.from_digest(group.reference, proteins=group.proteins)
+    def from_group(
+        group: DigestGroup, _mono: Optional[np.float32] = None
+    ) -> Optional["Peptide"]:
+        return Peptide.from_digest(
+            group.reference, proteins=group.proteins, _mono=_mono
+        )
+
+    @staticmethod
+    def batch_monoisotopic(seqs: List[str]):
+        """Sequential-f32 H2O + residue masses for many sequences at
+        once (the same op order as the from_digest loop, via the native
+        row-cumsum helper). Returns (mono f32 [N], ok bool [N]) — ok is
+        False exactly where the scalar loop returns None (non-ASCII or
+        unknown residue)."""
+        from ..native import seq_f32_cumsum_rows
+
+        n = len(seqs)
+        if n == 0:
+            return np.zeros(0, np.float32), np.zeros(0, bool)
+        lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+        L = max(int(lens.max()), 1)
+        mat = np.zeros((n, L), np.uint8)
+        ok = np.ones(n, bool)
+        for i, s in enumerate(seqs):
+            try:
+                b = s.encode("ascii")
+            except UnicodeEncodeError:
+                ok[i] = False
+                continue
+            mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        is_res = (mat >= 65) & (mat <= 90)
+        res = np.where(
+            is_res,
+            MONOISOTOPIC_MASSES[np.clip(mat.astype(np.int32) - 65, 0, 25)],
+            np.float32(0.0),
+        ).astype(np.float32)
+        pos_ok = ~((res == 0.0) & (
+            np.arange(L)[None, :] < lens[:, None]
+        ))
+        ok &= pos_ok.all(axis=1)
+        init = np.full(n, F32(H2O), np.float32)
+        cum = seq_f32_cumsum_rows(res, init, lens.astype(np.int32))
+        mono = cum[np.arange(n), np.maximum(lens - 1, 0)]
+        mono = np.where(lens > 0, mono, F32(H2O)).astype(np.float32)
+        return mono, ok
 
     def clone(self) -> "Peptide":
         return Peptide(

@@ -127,12 +127,27 @@ class DatabaseParams:
         target_seqs = {g.reference.sequence for g in groups if not g.reference.decoy}
 
         lo, hi = F32(self.peptide_min_mass), F32(self.peptide_max_mass)
+        # no mods configured: apply() would add a strict f32 zero to the
+        # mass of every fresh (unmodified) peptide — exactly identity —
+        # so the per-peptide modification pass is skipped wholesale
+        # (~10% of a mod-free digest)
+        no_mods = not mods and not self.static_mods
+        # batch the sequential-f32 monoisotopic masses (same op order as
+        # the scalar loop, via the native row cumsum — ~20% of a digest)
+        monos, mono_ok = Peptide.batch_monoisotopic(
+            [g.reference.sequence for g in groups]
+        )
         out: List[Peptide] = []
-        for group in groups:
-            base = Peptide.from_group(group)
+        for gi, group in enumerate(groups):
+            if not mono_ok[gi]:
+                continue
+            base = Peptide.from_group(group, _mono=monos[gi])
             if base is None:
                 continue
-            for peptide in base.apply(mods, self.static_mods, self.max_variable_mods):
+            for peptide in (
+                (base,) if no_mods
+                else base.apply(mods, self.static_mods, self.max_variable_mods)
+            ):
                 if not (lo <= peptide.monoisotopic <= hi):
                     continue
                 if self.generate_decoys:
@@ -203,9 +218,13 @@ def reorder_peptides(peptides: List[Peptide]) -> None:
     duplicates, keeping the first and OR-combining protein lists; a peptide
     that is a target in any source stays a target (database.rs:221-258)."""
     peptides.sort(key=Peptide.sort_key)
+    # dedup keys computed once per peptide (the adjacent-pair compare
+    # used to rebuild both tuples per step — ~15% of a large digest)
+    keys = [p.dedup_key() for p in peptides]
     write = 0
-    for i, p in enumerate(peptides):
-        if write > 0 and peptides[write - 1].dedup_key() == p.dedup_key():
+    kw_prev = None
+    for p, kp in zip(peptides, keys):
+        if write > 0 and kw_prev == kp:
             keep = peptides[write - 1]
             # Concatenate protein lists (the reference extends keep with
             # remove's proteins, duplicates included — database.rs:239).
@@ -213,6 +232,7 @@ def reorder_peptides(peptides: List[Peptide]) -> None:
             keep.decoy = keep.decoy and p.decoy
         else:
             peptides[write] = p
+            kw_prev = kp
             write += 1
     del peptides[write:]
     for p in peptides:
