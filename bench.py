@@ -442,34 +442,34 @@ def profile_open(scorer, spectra, batch):
     rng_cap = cap.get("open_ranges")
 
     def run_counts(z):
+        # each segment re-runs its own device range probe (grid for
+        # the single-class layout, slot-major per size class) so the
+        # exec split charges the probe as the device time it is
+        st = ln = None
         if rng_cap is not None:
             os_, u0, u1, Zb_r = rng_cap
-            st, ln, nbc = os_.ranges_device(
+            st, ln, _nbc = os_.ranges_device(
                 peaks_dev + z.astype(peaks_dev.dtype), u0, u1, Zb_r
             )
-            outs = []
-            for sd, kw, tag in osegs:
-                if tag is not None and tag[0] == "slot":
-                    _k, sids, ns, Zb_t, pk_t = tag
-                    st_c = jnp.reshape(jnp.transpose(jnp.reshape(
-                        st, (ns, Zb_t, nbc, pk_t)), (0, 2, 1, 3)),
-                        (ns * nbc, Zb_t * pk_t))[jnp.asarray(sids)]
-                    ln_c = jnp.reshape(jnp.transpose(jnp.reshape(
-                        ln, (ns, Zb_t, nbc, pk_t)), (0, 2, 1, 3)),
-                        (ns * nbc, Zb_t * pk_t))[jnp.asarray(sids)]
-                elif tag is not None:
-                    st_c = st[jnp.asarray(tag[1])]
-                    ln_c = ln[jnp.asarray(tag[1])]
-                else:
-                    st_c, ln_c = st, ln
-                outs.append(
-                    _device_open_count(sd[0], st_c, ln_c, *sd[3:], **kw)
+        outs = []
+        for sd, kw, tag in osegs:
+            if tag is not None and tag[0] == "slotflat":
+                os_f, spec_p, band_p, valid_p, Zb_f = tag[1]
+                st_c, ln_c = os_f.ranges_device_slots(
+                    peaks_dev + z.astype(peaks_dev.dtype),
+                    spec_p, band_p, valid_p, Zb_f,
                 )
-            return outs
-        return [
-            _device_open_count(sd[0], sd[1] + z, *sd[2:], **kw)
-            for sd, kw, _tag in osegs
-        ]
+            elif st is not None and tag is not None:
+                st_c = st[jnp.asarray(tag[1])]
+                ln_c = ln[jnp.asarray(tag[1])]
+            elif st is not None:
+                st_c, ln_c = st, ln
+            else:
+                st_c, ln_c = sd[1] + z, sd[2]
+            outs.append(
+                _device_open_count(sd[0], st_c, ln_c, *sd[3:], **kw)
+            )
+        return outs
 
     def step_s1(c):
         outs = run_counts(c[0] * 0)
@@ -487,7 +487,9 @@ def profile_open(scorer, spectra, batch):
         )
         return small[-1, :1].astype(jnp.int32)
 
-    prof["open_ranges_on_device"] = rng_cap is not None
+    prof["open_ranges_on_device"] = rng_cap is not None or any(
+        t is not None and t[0] == "slotflat" for _s, _k, t in osegs
+    )
     prof["open_s1_exec_s"] = round(devprof.chained_exec_s(step_s1), 4)
     prof["open_merge_exec_s"] = round(
         devprof.chained_exec_s(step_merge), 4

@@ -240,6 +240,106 @@ def _device_ranges(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("Zb", "tol")
+)
+def _device_ranges_flat(
+    mz64, dec, row_off, blen, boff, bfirst, blast,
+    peaks,       # f32 [2, B, Pk]
+    slot_spec,   # i32 [NS] spectrum per slot
+    slot_band,   # i32 [NS] band per slot (clipped)
+    slot_valid,  # bool [NS]
+    *, Zb, tol,
+):
+    """Slot-major form of _device_ranges: exact per-(z, peak) window
+    ranges for an EXPLICIT list of (spectrum, band) slots — the
+    size-class dispatch already enumerates live slots, so probing only
+    those does ~nbcov/live_fraction less work than the [B, nbcov] grid
+    (dead covered-band padding slots gathered like live ones there).
+    Same three-level decimated descent, bit-identical ranks; columns
+    are z-major (zi*Pk + pk), matching the nbcov=1 count core layout."""
+    from .search import tol_bounds_static
+
+    masses = peaks[0]
+    B, Pk = masses.shape
+    NS = slot_spec.shape[0]
+    NR = mz64.shape[0]
+    kind, lo_t, hi_t = tol
+    BIG = np.float32(3.0e38)
+    lane = jnp.arange(64, dtype=jnp.int32)
+    nb_t, DEC = dec.shape
+    DEC2 = -(-DEC // 64)
+    decp = jnp.pad(
+        dec, ((0, 0), (0, DEC2 * 64 - DEC)), constant_values=np.inf
+    )
+    decg = decp.reshape(nb_t, DEC2, 64)
+    dec2 = decg[:, :, 63]
+
+    bids = slot_band
+    ro = row_off[bids]
+    bl = blen[bids]
+    rows_b = (bl + 63) // 64
+    d2 = dec2[bids]                              # [NS, DEC2]
+
+    starts_l, lens_l = [], []
+    for zi in range(Zb):
+        q = masses * np.float32(zi + 1)
+        lo_b, hi_b = tol_bounds_static(kind, lo_t, hi_t, q)  # [B, Pk]
+        lo_s = lo_b[slot_spec]                   # [NS, Pk]
+        hi_s = hi_b[slot_spec]
+        finite = jnp.isfinite(lo_s) & jnp.isfinite(hi_s)
+        lo_c = jnp.where(finite, lo_s, BIG)
+        hi_c = jnp.where(finite, hi_s, BIG)
+        bound = jnp.stack([lo_c, hi_c], axis=-1)  # [NS, Pk, 2]
+        q_lo = jnp.sum(
+            (d2[:, None, :] < bound[..., 0][..., None]),
+            axis=-1, dtype=jnp.int32,
+        )
+        q_hi = jnp.sum(
+            (d2[:, None, :] <= bound[..., 1][..., None]),
+            axis=-1, dtype=jnp.int32,
+        )
+        q2 = jnp.stack([q_lo, q_hi], axis=-1)     # [NS, Pk, 2]
+        qc = jnp.minimum(q2, DEC2 - 1)
+        dg = decg[bids[:, None, None], qc]        # [NS, Pk, 2, 64]
+        c2 = jnp.sum(
+            jnp.where(
+                jnp.arange(2, dtype=jnp.int32)[None, None, :, None] == 0,
+                dg < bound[..., 0][..., None, None],
+                dg <= bound[..., 1][..., None, None],
+            ).astype(jnp.int32),
+            axis=-1,
+        )
+        j2 = qc * 64 + c2
+        jr = jnp.minimum(
+            j2, jnp.maximum(rows_b[:, None, None] - 1, 0)
+        )
+        rowidx = jnp.clip(ro[:, None, None] + jr, 0, NR - 1)
+        vals = mz64[rowidx]                       # [NS, Pk, 2, 64]
+        lanepos = jr[..., None] * 64 + lane
+        ok = lanepos < bl[:, None, None, None]
+        c = jnp.where(
+            jnp.arange(2, dtype=jnp.int32)[None, None, :, None] == 0,
+            vals < bound[..., 0][..., None, None],
+            vals <= bound[..., 1][..., None, None],
+        )
+        cnt = jnp.sum((c & ok).astype(jnp.int32), axis=-1)
+        r = jnp.minimum(jr * 64 + cnt, bl[:, None, None])
+        hit = (
+            finite & slot_valid[:, None]
+            & (hi_s >= bfirst[bids][:, None])
+            & (lo_s <= blast[bids][:, None])
+        )
+        ln = jnp.where(hit, jnp.maximum(r[..., 1] - r[..., 0], 0), 0)
+        st = jnp.where(hit, boff[bids][:, None] + r[..., 0], 0)
+        starts_l.append(st)
+        lens_l.append(ln)
+    return (
+        jnp.concatenate(starts_l, axis=1).astype(jnp.int32),
+        jnp.concatenate(lens_l, axis=1).astype(jnp.int32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("nbcov", "Zb", "Pk"))
 def _range_stats(starts, lens, *, nbcov=1, Zb=1, Pk=1):
     """Device [2] i32: (max per-(spectrum, band) total entries, max
@@ -941,6 +1041,23 @@ class OpenSearcher:
             tol=(t.kind, float(t.lo), float(t.hi)),
         )
         return st, ln, nbcov
+
+    def ranges_device_slots(
+        self, peaks_dev, slot_spec, slot_band, slot_valid, Zb: int
+    ):
+        """Slot-major device ranges for an explicit live-slot list —
+        see _device_ranges_flat. slot_spec/slot_band/slot_valid may be
+        host arrays; padded rows pass slot_valid False and come back
+        all-zero."""
+        tabs = self._dev_ranges_tables()
+        t = self.frag_tol
+        return _device_ranges_flat(
+            *tabs, peaks_dev,
+            jnp.asarray(np.asarray(slot_spec, np.int32)),
+            jnp.asarray(np.asarray(slot_band, np.int32)),
+            jnp.asarray(np.asarray(slot_valid, bool)),
+            Zb=Zb, tol=(t.kind, float(t.lo), float(t.hi)),
+        )
 
     def ranges(
         self, masses: np.ndarray, Zb: int,

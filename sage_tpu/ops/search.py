@@ -1854,7 +1854,7 @@ class Scorer:
             os_ = self._open_searcher()
             stk = getattr(os_, "_sticky_shapes", None)
             u0_d, u1_d = spectrum_window_union(rows, n_spec)
-            _b0, _b1, nbcov_u = covered_bands(
+            b0_u, _b1, nbcov_u = covered_bands(
                 u0_d, u1_d, os_.band_w, os_.n_bands, n_spec
             )
             sticky_ok = False
@@ -1912,17 +1912,12 @@ class Scorer:
         if open_sticky is not None:
             from .open_search import (
                 V_ROW as V_ROW_OS,
+                _quarter_octave as _qoct_os,
                 _range_stats,
             )
 
-            st_dev, ln_dev, nbc = os_.ranges_device(
-                peaks_dev, u0_d, u1_d, Zb
-            )
-            if capture is not None:
-                # the range probe is real device time: the bench's open
-                # exec split chains it ahead of the count program
-                capture["open_ranges"] = (os_, u0_d, u1_d, Zb)
-            Pk_eff = int(st_dev.shape[1]) // max(Zb * nbc, 1)
+            nbc = nbcov_u
+            Pk_eff = int(masses.shape[1])
             chunked = open_sticky["chunked"]
             classes = open_sticky.get("classes") or [
                 {"Wc": open_sticky["Wc"], "F": open_sticky["F"]}
@@ -1948,7 +1943,16 @@ class Scorer:
             ):
                 ci = None  # defensive: slot layout mismatch
             if ci is None or len(classes) == 1:
-                # single-class whole-batch layout (band-major core)
+                # single-class whole-batch layout (band-major core,
+                # grid range probe)
+                st_dev, ln_dev, nbc = os_.ranges_device(
+                    peaks_dev, u0_d, u1_d, Zb
+                )
+                if capture is not None:
+                    # the range probe is real device time: the bench's
+                    # open exec split chains it ahead of the counts
+                    capture["open_ranges"] = (os_, u0_d, u1_d, Zb)
+                Pk_eff = int(st_dev.shape[1]) // max(Zb * nbc, 1)
                 cl = classes[-1]
                 Wc_b, F_b = cl["Wc"], cl["F"]
                 if chunked:
@@ -1988,14 +1992,12 @@ class Scorer:
                 open_sticky["F_effs"] = [F_b]
                 open_sticky["Wcs"] = [Wc_b]
             else:
-                # slot-major device view of the ranges: window axis
-                # (z, band, pk) -> per-slot rows [B*nbc, Zb*Pk]
-                st_sm = jnp.reshape(jnp.transpose(jnp.reshape(
-                    st_dev, (n_spec, Zb, nbc, Pk_eff)
-                ), (0, 2, 1, 3)), (n_spec * nbc, Zb * Pk_eff))
-                ln_sm = jnp.reshape(jnp.transpose(jnp.reshape(
-                    ln_dev, (n_spec, Zb, nbc, Pk_eff)
-                ), (0, 2, 1, 3)), (n_spec * nbc, Zb * Pk_eff))
+                # the range probe itself runs SLOT-MAJOR per class
+                # (ranges_device_slots): only live slots are probed —
+                # the [B, nbcov] grid probe also paid gathers for every
+                # dead covered-band padding slot (~1/3 of the grid) and
+                # its descriptor-bound gathers were half the open-search
+                # device time
                 ci_flat = ci.reshape(-1)
                 live = valid_b.reshape(-1)
                 open_segs = []
@@ -2015,6 +2017,18 @@ class Scorer:
                         F_b = min(F_b, Wc_b * V_ROW_OS)
                     s_arr = slot_ids // nbc
                     k_arr = slot_ids % nbc
+                    # quarter-octave-padded slot axis; padded rows are
+                    # invalid and probe to all-zero ranges
+                    n_sl = slot_ids.size
+                    NS_pad = _qoct_os(max(n_sl, 8))
+                    spec_p = np.zeros(NS_pad, np.int32)
+                    band_p = np.zeros(NS_pad, np.int32)
+                    valid_p = np.zeros(NS_pad, bool)
+                    spec_p[:n_sl] = s_arr
+                    band_p[:n_sl] = np.clip(
+                        b0_u[s_arr] + k_arr, 0, os_.n_bands - 1
+                    )
+                    valid_p[:n_sl] = True
                     # pseudo-rows: every query row of each slot's
                     # spectrum, one per (row, band slot)
                     cnts = counts_r[s_arr]
@@ -2036,9 +2050,9 @@ class Scorer:
                     li0[:n_ps] = rows["i0"][r_idx]
                     li1[:n_ps] = rows["i1"][r_idx]
                     lmz[:n_ps] = maxz[r_idx]
-                    sid_dev = jnp.asarray(slot_ids.astype(np.int32))
-                    st_c = st_sm[sid_dev]
-                    ln_c = ln_sm[sid_dev]
+                    st_c, ln_c = os_.ranges_device_slots(
+                        peaks_dev, spec_p, band_p, valid_p, Zb
+                    )
                     open_segs.append({
                         "os": os_, "spec_ids": None,
                         "slot_ids": slot_ids, "rows_idx": r_idx,
@@ -2046,6 +2060,7 @@ class Scorer:
                         "chunked": chunked, "Pk_eff": Pk_eff,
                         "nbcov": 1,
                         "starts": st_c, "lens": ln_c,
+                        "rng": (os_, spec_p, band_p, valid_p, Zb),
                         "lspec": lspec, "li0": li0, "li1": li1,
                         "lmz": lmz,
                     })
@@ -2314,11 +2329,9 @@ class Scorer:
                 )
                 seg_outs.append(_device_open_count(*sd, **kw))
                 if capture is not None:
-                    sids = seg.get("slot_ids")
                     ids = seg.get("spec_ids")
-                    if sids is not None:
-                        tag = ("slot", np.asarray(sids), n_spec, Zb,
-                               seg["Pk_eff"])
+                    if seg.get("rng") is not None:
+                        tag = ("slotflat", seg["rng"])
                     elif ids is None or ids.size == n_spec:
                         tag = None
                     else:

@@ -365,6 +365,55 @@ def test_open_sticky_device_ranges_equivalence(db, monkeypatch):
             )
 
 
+def test_device_ranges_slots_match_host(db):
+    """ranges_device_slots (slot-major flat probe) must equal the host
+    searchsorted ranges at every probed (spectrum, band) slot, with
+    invalid (padding) slots all-zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from sage_tpu.ops.open_search import (
+        OpenSearcher, covered_bands, spectrum_window_union,
+    )
+
+    frag_tol = Tolerance("ppm", -15.0, 15.0)
+    prec = Tolerance("da", -300.0, 100.0)
+    sp = SearchParams(precursor_tol=prec, fragment_tol=frag_tol)
+    spectra = _spectra(db, 24, seed=23)
+    sc = Scorer(db, sp)
+    masses, intens, Pk = sc._pad_peaks(spectra)
+    rows = sc._expand_rows(spectra)
+    B = len(spectra)
+    for nb_env in ("2", "4"):
+        osr = OpenSearcher.__new__(OpenSearcher)
+        import os as _os
+        _os.environ["SAGE_TPU_OPEN_BANDS"] = nb_env
+        try:
+            osr.__init__(db, frag_tol, 1, 50, precursor_tol=prec)
+        finally:
+            del _os.environ["SAGE_TPU_OPEN_BANDS"]
+        u0, u1 = spectrum_window_union(rows, B)
+        st_h, ln_h = osr.ranges(masses, 1, u0, u1)
+        b0, b1, nbcov = covered_bands(u0, u1, osr.band_w, osr.n_bands, B)
+        # all (spectrum, slot) pairs incl. some invalid ones
+        s_arr = np.repeat(np.arange(B), nbcov)
+        k_arr = np.tile(np.arange(nbcov), B)
+        valid = k_arr <= (b1 - b0)[s_arr]
+        band = np.clip(b0[s_arr] + k_arr, 0, osr.n_bands - 1)
+        peaks_dev = jnp.asarray(np.stack([masses, intens]))
+        st_d, ln_d = osr.ranges_device_slots(
+            peaks_dev, s_arr, band, valid, 1
+        )
+        st_d = np.asarray(jax.device_get(st_d))
+        ln_d = np.asarray(jax.device_get(ln_d))
+        # host grid layout col = (zi*nbcov + k)*Pk + pk, zi = 0
+        st_g = st_h.reshape(B, nbcov, Pk)[s_arr, k_arr]
+        ln_g = ln_h.reshape(B, nbcov, Pk)[s_arr, k_arr]
+        np.testing.assert_array_equal(st_d[valid], st_g[valid])
+        np.testing.assert_array_equal(ln_d[valid], ln_g[valid])
+        assert (st_d[~valid] == 0).all() and (ln_d[~valid] == 0).all()
+
+
 def test_open_sticky_slot_classes_equivalence(db, monkeypatch):
     """When the teaching batch records slot size classes, later batches
     dispatch each (spectrum, band) slot as its own pseudo-row in its
